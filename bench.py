@@ -1,0 +1,154 @@
+"""Benchmark: collocation-point throughput of the fused training step.
+
+Prints ONE JSON line:
+    {"metric": "collocation_points_per_sec", "value": N, "unit": "points/s",
+     "vs_baseline": R}
+
+The reference publishes no throughput numbers (BASELINE.md), so the baseline
+is measured in-situ: the reference-style training step (six chained
+``torch.autograd.grad`` passes for the Laplacian, float64, Adam) on this
+host's CPU via torch, scaled per point. The result is cached in
+``bench_baseline.json`` so repeated runs don't re-measure it. ``vs_baseline``
+is ours / baseline on that basis; the absolute points/s value is the headline.
+
+Run on the TPU-attached environment (default backend). Options:
+    python bench.py [--n N] [--steps K] [--dtype float32] [--no-baseline]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def measure_ours(n: int, steps: int, dtype: str) -> dict:
+    import jax
+    import dataclasses
+    import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import engine
+
+    cfg = pqs.Config(dtype=dtype)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, n_train=n,
+                                       epochs=10 ** 9, scan_chunk=steps))
+    opt = engine.make_optimizer(cfg)
+    state = engine.init_state(jax.random.PRNGKey(0), cfg, opt)
+    step = engine.make_step(cfg, opt)
+
+    def chunk(state, k):
+        return jax.lax.scan(step, state, None, length=k)
+
+    chunk = jax.jit(chunk, static_argnums=1)
+    # compile + warmup
+    state, _ = chunk(state, 2)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    state, hist = chunk(state, steps)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    dev = jax.devices()[0]
+    return {
+        "points_per_sec": n * steps / dt,
+        "steps_per_sec": steps / dt,
+        "n": n, "steps": steps, "dtype": dtype,
+        "device": f"{dev.platform}:{dev.device_kind}",
+        "final_loss": float(hist.l_tot[-1]),
+    }
+
+
+def measure_torch_baseline(n: int = 10_000, steps: int = 3) -> dict:
+    """Reference-style step on CPU torch: float64, nested autograd Laplacian.
+
+    This is NOT the reference's unrecorded GPU number — it is the only
+    measurable baseline in this environment, labeled as such.
+    """
+    import numpy as np
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_default_dtype(torch.float64)
+
+    def mk(shape_in, shape_out):
+        b = 1.0 / shape_in ** 0.5
+        w = torch.empty(shape_in, shape_out).uniform_(-b, b).requires_grad_()
+        bias = torch.empty(shape_out).uniform_(-b, b).requires_grad_()
+        return w, bias
+
+    h1 = mk(2, 16); h2 = mk(16, 16); out = mk(16, 1)
+    g1 = mk(1, 10); g2 = mk(10, 1)
+    e1 = mk(1, 32); e2 = mk(32, 32); e3 = mk(32, 1)
+    params = [t for pair in (h1, h2, out, g1, g2, e1, e2, e3) for t in pair]
+    optim = torch.optim.Adam(params, lr=8e-3)
+
+    def second(f, v):
+        d1 = torch.autograd.grad(f.sum(), v, create_graph=True)[0]
+        return torch.autograd.grad(d1.sum(), v, create_graph=True)[0]
+
+    times = []
+    for _ in range(steps + 1):
+        t0 = time.perf_counter()
+        optim.zero_grad()
+        x = (torch.rand(n, 1) * 36 - 18).requires_grad_()
+        y = (torch.rand(n, 1) * 36 - 18).requires_grad_()
+        z = (torch.rand(n, 1) * 36 - 18).requires_grad_()
+        R = torch.rand(n, 1) * 3.8 + 0.2
+        r1 = torch.sqrt((x - R) ** 2 + y ** 2 + z ** 2)
+        r2 = torch.sqrt((x + R) ** 2 + y ** 2 + z ** 2)
+        f1, f2 = torch.exp(-r1), torch.exp(-r2)
+        h = torch.sigmoid(torch.cat([f1, f2], 1) @ h1[0] + h1[1])
+        h = torch.sigmoid(h @ h2[0] + h2[1])
+        nn = (2 * h) @ out[0] + out[1]
+        gate = torch.sigmoid(R @ g1[0] + g1[1]) @ g2[0] + g2[1]
+        e = torch.sigmoid(R @ e1[0] + e1[1])
+        e = torch.sigmoid(e @ e2[0] + e2[1]) @ e3[0] + e3[1]
+        psi = f1 + f2 + nn * gate
+        lap = second(psi, x) + second(psi, y) + second(psi, z)
+        res = -0.5 * lap + (-1 / r1 - 1 / r2 - e) * psi
+        loss = (res ** 2).mean() + (psi[r1 > 17.5] ** 2).mean()
+        loss.backward()
+        optim.step()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times[1:]))
+    return {"points_per_sec": n / dt, "n": n, "device": "cpu-torch-f64"}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--no-baseline", action="store_true")
+    args = ap.parse_args()
+
+    ours = measure_ours(args.n, args.steps, args.dtype)
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_baseline.json")
+    baseline = None
+    if not args.no_baseline:
+        if os.path.exists(cache):
+            with open(cache) as f:
+                baseline = json.load(f)
+        else:
+            try:
+                baseline = measure_torch_baseline()
+                with open(cache, "w") as f:
+                    json.dump(baseline, f)
+            except Exception as exc:  # torch missing etc.
+                print(f"baseline measurement failed: {exc}", file=sys.stderr)
+
+    vs = (ours["points_per_sec"] / baseline["points_per_sec"]
+          if baseline else 1.0)
+    print(json.dumps({
+        "metric": "collocation_points_per_sec",
+        "value": round(ours["points_per_sec"], 1),
+        "unit": "points/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

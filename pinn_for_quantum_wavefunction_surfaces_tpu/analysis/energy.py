@@ -1,0 +1,137 @@
+"""Eigenvalue-surface extraction: Rayleigh quotients on quadrature grids.
+
+Rebuilds the reference analysis path (``poc/main.py:438-527``):
+
+    E_int(R)  = <psi|H|psi> / <psi|psi>   on an n^3 Simpson grid
+    E_net(R)  = the trainable eigenvalue head evaluated at R
+    E_lcao(R) = the same quotient for the analytic LCAO ansatz (baseline)
+
+TPU-first differences:
+- psi, lap psi come from the fused forward-Laplacian pass (one traversal),
+  not 6 chained autograd calls on a 512k-point graph;
+- the grid is processed in x-slabs under ``lax.map`` inside one jit, so peak
+  memory is O(n^2) — the reference's 250^3 grid that "needs more than 32GB"
+  (poc/main.py:1461-1462) streams through in slabs;
+- the quadrature contraction runs on-device (ops/quadrature.py) instead of
+  host scipy on detached tensors.
+"""
+
+from __future__ import annotations
+
+import functools
+import pickle
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models import ansatz
+from ..ops import operators, quadrature
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n", "scheme", "which"))
+def _rayleigh(params, cfg: Config, ri, n: int, scheme: str, which: str):
+    """(num, den) of the Rayleigh quotient over the n^3 grid at half-distance
+    ri. ``which``: 'model' for the full ansatz, 'lcao' for the baseline."""
+    dom = cfg.domain
+    dtype = jnp.result_type(*jax.tree.leaves(params))
+    ax = jnp.linspace(-dom.box, dom.box, n, dtype=dtype)
+    dx = 2.0 * dom.box / (n - 1)
+    w = jnp.asarray(quadrature.simpson_weights(n, dx, scheme), dtype)
+    yg, zg = jnp.meshgrid(ax, ax, indexing="ij")
+    yf, zf = yg.ravel(), zg.ravel()
+
+    def slab(xi):
+        xs = jnp.full_like(yf, xi)
+        rs = jnp.full_like(yf, ri)
+        if which == "lcao":
+            s = lcao_fwdlap(cfg.model, xs, yf, zf, rs)
+        else:
+            s, _ = ansatz.psi_fwdlap(params, cfg.model, xs, yf, zf, rs)
+        psi = s.v[..., 0]
+        hpsi = operators.hamiltonian_values(cfg.model, xs, yf, zf, rs, psi,
+                                            s.l[..., 0])
+        wyz = (w[:, None] * w[None, :]).ravel()
+        return (jnp.sum(wyz * psi * hpsi), jnp.sum(wyz * psi * psi))
+
+    nums, dens = jax.lax.map(slab, ax)
+    return jnp.sum(w * nums), jnp.sum(w * dens)
+
+
+def lcao_fwdlap(mcfg, x, y, z, r):
+    """LCAO psi with analytic gradient/laplacian (for the baseline quotient)."""
+    from ..ops import fwdlap
+    f1 = fwdlap.orbital_envelope(x, y, z, r, mcfg.ry, mcfg.rz)
+    f2 = fwdlap.orbital_envelope(x, y, z, -r, -mcfg.ry, -mcfg.rz)
+    return fwdlap.add(f1, fwdlap.scale(f2, jnp.asarray(
+        float(mcfg.inversion_symmetry), f2.v.dtype)))
+
+
+def rayleigh_quotient(params, cfg: Config, ri: float, n: Optional[int] = None,
+                      scheme: str = "avg", which: str = "model") -> float:
+    """E_int = <psi|H|psi>/<psi|psi> at half-distance ri
+    (reference ``energy_from_psi``, poc/main.py:438-464)."""
+    n = n or cfg.train.n_test
+    num, den = _rayleigh(params, cfg, ri, n, scheme, which)
+    return float(num / den)
+
+
+def energy_net(params, ri) -> float:
+    """E_net: the eigenvalue head at R=ri (reference E[-1], poc/main.py:463)."""
+    return float(ansatz.energy(params, jnp.asarray([ri]))[0])
+
+
+def surface(params, cfg: Config, r_values=None, n: int = 80,
+            scheme: str = "avg", lcao: bool = True,
+            progress=None) -> dict:
+    """Sweep R and return the eigenvalue surface in the reference's artifact
+    schema {R, E_int, Elcao, E_net} (reference ``calculate_E_R``,
+    poc/main.py:495-517)."""
+    dom = cfg.domain
+    if r_values is None:
+        r_values = np.round(np.arange(dom.r_lo, dom.r_hi + 0.1, 0.1), 2)
+    r_values = np.asarray(r_values)
+    e_int = np.zeros(len(r_values))
+    e_net = np.zeros(len(r_values))
+    e_lcao = np.zeros(len(r_values))
+    for i, ri in enumerate(r_values):
+        num, den = _rayleigh(params, cfg, float(ri), n, scheme, "model")
+        e_int[i] = float(num / den)
+        if lcao:
+            num, den = _rayleigh(params, cfg, float(ri), n, scheme, "lcao")
+            e_lcao[i] = float(num / den)
+        e_net[i] = energy_net(params, float(ri))
+        if progress is not None:
+            progress(i, len(r_values), ri)
+    return {"R": r_values, "E_int": e_int, "Elcao": e_lcao, "E_net": e_net}
+
+
+def save_surface(path: str, surf: dict) -> None:
+    """Persist in the reference's pickle schema (poc/main.py:509-517)."""
+    with open(path, "wb") as f:
+        pickle.dump(surf, f)
+
+
+def load_surface(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+# Exact H2+ energies: H. Wind, J. Chem. Phys. 42, 2371 (1965), as tabulated in
+# reference poc/main.py:48-61. R here is the HALF internuclear distance, step
+# 0.1 from 0.2 to 4.0; energies are electronic (add 1/(2R) for total).
+WIND_R = np.round(np.arange(0.2, 4.1, 0.1), 2)
+WIND_E = np.array([
+    -1.8008, -1.6715, -1.5545, -1.4518, -1.3623, -1.2843, -1.2159, -1.1558,
+    -1.1026, -1.0554, -1.0132, -0.9754, -0.9415, -0.9109, -0.8832, -0.8582,
+    -0.8355, -0.8149, -0.7961, -0.7790, -0.7634, -0.7492, -0.7363, -0.7244,
+    -0.7136, -0.7037, -0.6946, -0.6863, -0.6786, -0.6716, -0.6651, -0.6591,
+    -0.6536, -0.6485, -0.6437, -0.6392, -0.6351, -0.6312, -0.6276,
+])
+
+
+def exact_energy(r_values) -> np.ndarray:
+    """Interpolate the Wind table at the given half-distances."""
+    return np.interp(np.asarray(r_values), WIND_R, WIND_E)

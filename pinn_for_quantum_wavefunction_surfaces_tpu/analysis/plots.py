@@ -1,0 +1,144 @@
+"""Figure generation: loss curves, E(R) surface panels, gate, psi cuts.
+
+Rebuilds the reference's figure outputs (reference ``plotLoss``
+poc/main.py:189-217; paper panels poc/main.py:729-813,888-910; quick plots
+``energy.py:25-35`` / ``plot.py:28-57``) from this framework's artifacts.
+All functions save to files (headless Agg backend) and return the path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from ..config import Config
+from ..models import ansatz
+from . import energy as aen
+from . import probes
+
+
+def _save(fig, path: str) -> str:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def loss_figure(history: dict, path: str = "figures/loss_figure.jpg",
+                epochs_mark: int | None = None) -> str:
+    """Two-panel loss/energy history (reference plotLoss)."""
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(14, 5))
+    ax1.plot(history["Ltot"], label="total", lw=2)
+    ax1.plot(history["Lpde"], label="pde", lw=1)
+    ax1.plot(history["Lbc"], label="bc", lw=1)
+    ax1.set_yscale("log")
+    ax1.set_xlabel("epochs")
+    ax1.set_ylabel("Loss")
+    ax1.legend()
+    ax2.plot(history["Energy"], "-k", lw=1)
+    ax2.set_xlabel("epochs")
+    ax2.set_ylabel("Energy")
+    if epochs_mark is not None:
+        for ax in (ax1, ax2):
+            ax.axvline(epochs_mark, c="r", ls="--", alpha=0.7)
+    fig.tight_layout()
+    return _save(fig, path)
+
+
+def energy_curve_figure(params, cfg: Config, path: str = "figures/energy.png",
+                        total: bool = True) -> str:
+    """E(R) from the eigenvalue head (reference energy.py:25-35; plots the
+    total energy e + 1/(2R))."""
+    r, e = probes.energy_curve(params, cfg, total=total)
+    fig, ax = plt.subplots()
+    ax.plot(r, e, "b")
+    ax.set_xlabel("R (bohr, half-distance)")
+    ax.set_ylabel("E + 1/(2R) (Ha)" if total else "E (Ha)")
+    return _save(fig, path)
+
+
+def surface_figure(surf: dict, path: str = "figures/energy_surface.pdf") -> str:
+    """E(R) surface panel: E_net, E_int, LCAO baseline vs the Wind exact
+    table, with an error subpanel (reference poc/main.py:974-1001)."""
+    r = np.asarray(surf["R"])
+    exact = aen.exact_energy(r)
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(7, 8), sharex=True,
+                                   height_ratios=[2, 1])
+    ax1.plot(r, exact, "k-", label="exact (Wind 1965)")
+    ax1.plot(r, surf["E_net"], "b.-", label="E_net (eigenvalue head)")
+    ax1.plot(r, surf["E_int"], "g--", label=r"$\langle\psi|H|\psi\rangle$")
+    if np.any(surf.get("Elcao", 0)):
+        ax1.plot(r, surf["Elcao"], "r:", label="LCAO baseline")
+    ax1.set_ylabel("E (Ha)")
+    ax1.legend()
+    ax2.plot(r, 1e3 * (surf["E_net"] - exact), "b.-", label="E_net")
+    ax2.plot(r, 1e3 * (surf["E_int"] - exact), "g--", label="E_int")
+    ax2.axhline(0, c="k", lw=0.5)
+    ax2.set_xlabel("R (bohr, half-distance)")
+    ax2.set_ylabel("error (mHa)")
+    ax2.legend()
+    fig.tight_layout()
+    return _save(fig, path)
+
+
+def gate_figure(params, cfg: Config, path: str = "figures/gate.pdf") -> str:
+    """The gate / network-importance function f(R) (reference
+    poc/main.py:1092-1111)."""
+    r, g = probes.gate_curve(params, cfg)
+    fig, ax = plt.subplots()
+    ax.plot(r, g, "b")
+    ax.set_xlabel("R (bohr, half-distance)")
+    ax.set_ylabel("gate f(R)")
+    return _save(fig, path)
+
+
+def psi_cut_figure(params, cfg: Config, ri: float,
+                   path: str | None = None, normalized: bool = False,
+                   diff: bool = False) -> str:
+    """psi(x, 0, 0) vs the LCAO part at fixed R (reference plot.py:28-57:
+    R{1,2}.png and the difference panels R{1,2}e.png)."""
+    if normalized:
+        ax_x, psi, psi_l = probes.psi_cut_x_norm(params, cfg, ri)
+    else:
+        ax_x, psi, psi_l = probes.psi_cut_x(params, cfg, ri)
+    path = path or f"figures/R{ri:g}{'e' if diff else ''}.png"
+    fig, ax = plt.subplots()
+    if diff:
+        ax.plot(ax_x, psi - psi_l, "r")
+        ax.set_ylabel(r"$\psi - \psi_{LCAO}$")
+    else:
+        ax.plot(ax_x, psi, "b", label=r"$\psi$")
+        ax.plot(ax_x, psi_l, "r", label="LCAO")
+        ax.legend()
+        ax.set_ylabel(r"$\psi(x, 0, 0)$")
+    ax.set_xlabel("x (bohr)")
+    return _save(fig, path)
+
+
+def forces_figure(params, cfg: Config, r_values=None,
+                  path: str = "figures/forces.pdf",
+                  hf_points: int = 9) -> str:
+    """Force panel: -dE/dR from autograd, finite differences and the
+    Hellmann-Feynman integral (reference poc/main.py:1465-1489)."""
+    from . import forces as afo
+    if r_values is None:
+        r_values = np.linspace(cfg.domain.r_lo + 0.2, cfg.domain.r_hi, 60)
+    g_auto = afo.denergy_dr_autograd(params, r_values, total=True)
+    g_fd = afo.denergy_dr_fd(params, r_values, total=True)
+    r_hf = np.linspace(r_values[0], r_values[-1], hf_points)
+    g_hf = np.array([afo.denergy_dr_hellmann_feynman(params, cfg, float(ri))
+                     for ri in r_hf])
+    fig, ax = plt.subplots()
+    ax.plot(r_values, -g_auto, "b-", label="autograd")
+    ax.plot(r_values, -g_fd, "g--", label="finite diff")
+    ax.plot(r_hf, -g_hf, "ro", label="Hellmann-Feynman")
+    ax.axhline(0, c="k", lw=0.5)
+    ax.set_xlabel("R (bohr, half-distance)")
+    ax.set_ylabel("force -dE/dR (Ha/bohr)")
+    ax.legend()
+    return _save(fig, path)

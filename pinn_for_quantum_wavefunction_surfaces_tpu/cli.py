@@ -1,0 +1,253 @@
+"""Command-line interface for the framework.
+
+The reference has no CLI (research scripts only, SURVEY.md section 5); this
+provides the end-to-end workflows as subcommands:
+
+    pinn-h2p train     — stage-1 training (paper schedule by default)
+    pinn-h2p finetune  — stage-2: freeze base+gate, train the E head
+    pinn-h2p energy    — E(R) surface extraction -> pickle + figure
+    pinn-h2p analyze   — gate / psi-cut / forces / loss figures
+    pinn-h2p export    — convert checkpoints (native npz <-> model.bin; read .pt)
+    pinn-h2p bench     — collocation-throughput microbenchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import pickle
+import sys
+
+import numpy as np
+
+
+def _build_cfg(args) -> "object":
+    import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
+    cfg = (pqs.minimal_config() if getattr(args, "arch", "symmetric")
+           == "minimal" else pqs.Config())
+    model = dataclasses.replace(
+        cfg.model, inversion_symmetry=1 if args.state == "gerade" else -1)
+    train = dataclasses.replace(
+        cfg.train,
+        **{k: v for k, v in (("n_train", getattr(args, "n_train", None)),
+                             ("epochs", getattr(args, "epochs", None)),
+                             ("lr", getattr(args, "lr", None)),
+                             ("seed", getattr(args, "seed", None)))
+           if v is not None})
+    domain = cfg.domain
+    if getattr(args, "fixed_r", None) is not None:
+        domain = dataclasses.replace(domain, fixed_r=args.fixed_r)
+    return dataclasses.replace(cfg, model=model, train=train, domain=domain,
+                               dtype=args.dtype)
+
+
+def _load_params(path: str):
+    from .io import checkpoint, modelbin, torch_pt
+    if path.endswith(".pt"):
+        return torch_pt.load_reference_checkpoint(path)
+    if path.endswith(".bin"):
+        return modelbin.load_params(path)
+    params, _ = checkpoint.load_params(path)
+    return params.get("params", params)
+
+
+def _add_common(p, train=False):
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--state", default="gerade",
+                   choices=["gerade", "ungerade"],
+                   help="gerade=1s sigma_g ground state, "
+                        "ungerade=2p sigma_u excited state")
+    if train:
+        p.add_argument("--arch", default="symmetric",
+                       choices=["symmetric", "minimal"])
+        p.add_argument("--n-train", type=int, dest="n_train")
+        p.add_argument("--epochs", type=int)
+        p.add_argument("--lr", type=float)
+        p.add_argument("--seed", type=int)
+        p.add_argument("--fixed-r", type=float, dest="fixed_r",
+                       help="train at a single half-distance R "
+                            "(per-R legacy mode)")
+        p.add_argument("--mesh", type=int, default=0,
+                       help="shard the collocation batch over N devices")
+
+
+def _log(step, metrics):
+    print(f"{step:8d}: " + " ".join(f"{k}={v:.3e}" for k, v in
+                                    metrics.items()), flush=True)
+
+
+def cmd_train(args) -> None:
+    import jax
+    from .io import checkpoint
+    from .training import engine
+    cfg = _build_cfg(args)
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh)
+    os.makedirs(args.out, exist_ok=True)
+
+    def ckpt_cb(state, step):
+        checkpoint.save(os.path.join(args.out, "best.npz"),
+                        {"params": jax.tree.map(np.asarray,
+                                                state.best_params)},
+                        meta={"step": step,
+                              "best_loss": float(state.best_loss)})
+
+    params = _load_params(args.resume) if args.resume else None
+    res = engine.train(cfg, params=params, mesh=mesh, log_cb=_log,
+                       checkpoint_cb=ckpt_cb)
+    checkpoint.save(os.path.join(args.out, "final.npz"),
+                    {"params": res.params},
+                    meta={"best_loss": res.best_loss,
+                          "runtime_s": res.runtime_s})
+    checkpoint.save(os.path.join(args.out, "best.npz"),
+                    {"params": res.best_params},
+                    meta={"best_loss": res.best_loss})
+    with open(os.path.join(args.out, "history.pkl"), "wb") as f:
+        pickle.dump(res.history, f)
+    print(json.dumps({"best_loss": res.best_loss,
+                      "runtime_s": round(res.runtime_s, 2),
+                      "points_per_sec": round(res.points_per_sec, 1)}))
+
+
+def cmd_finetune(args) -> None:
+    import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
+    from .io import checkpoint
+    from .training import engine
+    cfg = pqs.finetune_config(_build_cfg(args))
+    if args.epochs:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
+    params = _load_params(args.checkpoint)
+    params = {k: {kk: np.asarray(vv, cfg.dtype) for kk, vv in v.items()}
+              for k, v in params.items()}
+    os.makedirs(args.out, exist_ok=True)
+    res = engine.finetune(cfg, params=params, log_cb=_log)
+    checkpoint.save(os.path.join(args.out, "finetune.npz"),
+                    {"params": res.best_params},
+                    meta={"best_loss": res.best_loss})
+    with open(os.path.join(args.out, "history_finetune.pkl"), "wb") as f:
+        pickle.dump(res.history, f)
+    print(json.dumps({"best_loss": res.best_loss}))
+
+
+def cmd_energy(args) -> None:
+    from .analysis import energy as aen
+    cfg = _build_cfg(args)
+    params = _load_params(args.checkpoint)
+    params = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+              for k, v in params.items()}
+    surf = aen.surface(params, cfg, n=args.n_test, lcao=not args.no_lcao,
+                       progress=lambda i, n, ri: print(
+                           f"R={ri:.1f} ({i + 1}/{n})", file=sys.stderr))
+    aen.save_surface(args.out, surf)
+    exact = aen.exact_energy(surf["R"])
+    err = 1e3 * np.abs(surf["E_net"] - exact)
+    print(json.dumps({"surface": args.out,
+                      "max_err_mHa": round(float(err.max()), 3),
+                      "mean_err_mHa": round(float(err.mean()), 3)}))
+    if args.figure:
+        from .analysis import plots
+        print(plots.surface_figure(surf, args.figure))
+
+
+def cmd_analyze(args) -> None:
+    from .analysis import plots
+    cfg = _build_cfg(args)
+    params = _load_params(args.checkpoint)
+    params = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+              for k, v in params.items()}
+    outdir = args.out
+    paths = [plots.energy_curve_figure(params, cfg,
+                                       os.path.join(outdir, "energy.png")),
+             plots.gate_figure(params, cfg, os.path.join(outdir, "gate.pdf"))]
+    for ri in args.r_cuts:
+        paths.append(plots.psi_cut_figure(
+            params, cfg, ri, os.path.join(outdir, f"R{ri:g}.png")))
+        paths.append(plots.psi_cut_figure(
+            params, cfg, ri, os.path.join(outdir, f"R{ri:g}e.png"), diff=True))
+    if args.forces:
+        paths.append(plots.forces_figure(
+            params, cfg, path=os.path.join(outdir, "forces.pdf")))
+    if args.history:
+        with open(args.history, "rb") as f:
+            hist = pickle.load(f)
+        paths.append(plots.loss_figure(
+            hist, os.path.join(outdir, "loss_figure.jpg")))
+    print(json.dumps({"figures": paths}))
+
+
+def cmd_export(args) -> None:
+    from .io import checkpoint, modelbin
+    params = _load_params(args.input)
+    if args.output.endswith(".bin"):
+        modelbin.save_params(args.output, params)
+    else:
+        checkpoint.save(args.output, {"params": params}, meta={})
+    print(json.dumps({"written": args.output}))
+
+
+def cmd_bench(args) -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import bench
+    sys.argv = ["bench.py"] + (["--n", str(args.n)] if args.n else [])
+    bench.main()
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="pinn-h2p", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="stage-1 training")
+    _add_common(p, train=True)
+    p.add_argument("--out", default="runs/stage1")
+    p.add_argument("--resume", help="checkpoint to warm-start from")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("finetune", help="stage-2 E-head fine-tune")
+    _add_common(p, train=True)
+    p.add_argument("checkpoint")
+    p.add_argument("--out", default="runs/stage2")
+    p.set_defaults(fn=cmd_finetune)
+
+    p = sub.add_parser("energy", help="E(R) surface extraction")
+    _add_common(p)
+    p.add_argument("checkpoint")
+    p.add_argument("--out", default="energy_R_ion.pkl")
+    p.add_argument("--n-test", type=int, default=80, dest="n_test")
+    p.add_argument("--no-lcao", action="store_true")
+    p.add_argument("--figure", help="also write the surface figure here")
+    p.set_defaults(fn=cmd_energy)
+
+    p = sub.add_parser("analyze", help="figures: gate, psi cuts, forces")
+    _add_common(p)
+    p.add_argument("checkpoint")
+    p.add_argument("--out", default="figures")
+    p.add_argument("--r-cuts", type=float, nargs="*", default=[1.0, 2.0])
+    p.add_argument("--forces", action="store_true")
+    p.add_argument("--history", help="history.pkl for the loss figure")
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("export", help="convert checkpoint formats")
+    p.add_argument("input", help=".npz | .pt | .bin")
+    p.add_argument("output", help=".npz | .bin")
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("bench", help="throughput microbenchmark")
+    p.add_argument("--n", type=int)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    if getattr(args, "dtype", None) == "float64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

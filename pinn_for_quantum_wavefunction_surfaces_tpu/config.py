@@ -1,0 +1,138 @@
+"""Typed, immutable configuration for the TPU-native H2+ PINN framework.
+
+Replaces the reference's mutable ``set_params()`` dict (reference
+``poc/main.py:16-45``) and the module-level constants of the minimal trainer
+(reference ``train.py:75-109``) with a frozen dataclass that is hashable (so it
+can be a static argument under ``jax.jit``).
+
+Conventions:
+- ``R`` is the *half* internuclear distance; the nuclei sit at ``(+/-R, ry, rz)``
+  (reference ``poc/main.py:101-108``). Total energy = E_electronic + 1/(2R).
+- All lengths in Bohr, energies in Hartree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the parametric ansatz psi(x, y, z; R).
+
+    Defaults mirror the paper model (reference ``poc/main.py:225-245``):
+    correction MLP 2->16->16 (sigmoid), output head 16->1, gate 1->10->1,
+    eigenvalue head 1->32->32->1 with output bias initialised to -1.
+    """
+
+    arch: str = "symmetric"  # "symmetric" (poc) | "minimal" (train.py)
+    hidden: int = 16         # correction-MLP width     (dense_neurons)
+    hidden_e: int = 32       # eigenvalue-head width    (dense_neurons_E)
+    hidden_gate: int = 10    # gate width               (netDecay_neurons)
+    inversion_symmetry: int = 1  # P = +1 gerade (1s sigma_g), -1 ungerade (2p sigma_u)
+    ry: float = 0.0          # nuclei offset in y (reference params['Ry'])
+    rz: float = 0.0          # nuclei offset in z (reference params['Rz'])
+    eout_bias_init: float = -1.0  # reference poc/main.py:240
+
+    def __post_init__(self):
+        if self.arch not in ("symmetric", "minimal"):
+            raise ValueError(f"unknown arch {self.arch!r}")
+        if self.inversion_symmetry not in (-1, 1):
+            raise ValueError("inversion_symmetry must be +1 or -1")
+
+
+@dataclasses.dataclass(frozen=True)
+class DomainConfig:
+    """Collocation / quadrature domain (reference ``poc/main.py:18-30``)."""
+
+    box: float = 18.0        # half-width of the sampling cube
+    bc_cutoff: float = 17.5  # boundary-decay penalty radius (BCcutoff)
+    r_lo: float = 0.2        # half-distance range lower bound (RxL)
+    r_hi: float = 4.0        # upper bound (RxR); train.py uses 3.0
+    cutoff: float = 0.005    # nuclear-singularity clamp (cutOff)
+    fixed_r: Optional[float] = None  # per-R ("legacy multi-model") mode: train at one R
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimisation schedule (reference ``poc/main.py:36-44`` and ``train.py``)."""
+
+    n_train: int = 100_000       # collocation batch size
+    n_test: int = 80             # quadrature grid points per axis (n_test^3 grid)
+    epochs: int = 5_000
+    lr: float = 8e-3
+    resample_every: int = 1      # sc_sampling
+    resample_frac: float = 0.9   # resampling stops after this fraction of epochs
+    best_after_frac: float = 0.5 # poc: persist best model only after 50% of epochs
+    seed: int = 12345            # train.py:75 (poc sets no seed)
+    betas: tuple = (0.9, 0.999)
+    eps: float = 1e-8
+    scan_chunk: int = 250        # steps per jitted lax.scan chunk (host io boundary)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Top-level config: model + domain + training + numerics."""
+
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    domain: DomainConfig = dataclasses.field(default_factory=DomainConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    # Residual convention. "poc": res = (-1/2 lap - 1/r1 - 1/r2 - E) psi
+    # (reference poc/main.py:118-120,345 — canonical, matches the Wind table).
+    # "minimal": res = lap psi + (e + 1/r1 + 1/r2) psi (reference train.py:54;
+    # its `e` is NOT the Hartree electronic energy — kept for model.bin parity).
+    convention: str = "poc"
+
+    # Compute dtype for the training path. float32 is the TPU-native default;
+    # float64 is the reference-parity mode (requires jax_enable_x64).
+    dtype: str = "float32"
+
+    # Number of boundary-mask slots reserved per batch: the boundary loss uses
+    # masked fixed-shape means (no data-dependent indexing under jit).
+    def __post_init__(self):
+        if self.convention not in ("poc", "minimal"):
+            raise ValueError(f"unknown convention {self.convention!r}")
+        if self.dtype not in ("float32", "float64", "bfloat16"):
+            raise ValueError(f"unknown dtype {self.dtype!r}")
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def paper_config(**overrides) -> Config:
+    """The configuration of the paper run (reference ``poc/main.py:16-45``)."""
+    return Config(**overrides)
+
+
+def minimal_config(**overrides) -> Config:
+    """The configuration of the minimal trainer (reference ``train.py:78-87``):
+    n=10000 points, R in [0.2, 3], epochs=1000, the `minimal` architecture and
+    residual convention."""
+    base = Config(
+        model=ModelConfig(arch="minimal"),
+        domain=DomainConfig(r_hi=3.0),
+        # train.py resamples every epoch with no 90% cutoff (train.py:26)
+        train=TrainConfig(n_train=10_000, epochs=1_000, resample_frac=1.0),
+        convention="minimal",
+    )
+    return dataclasses.replace(base, **overrides)
+
+
+def finetune_config(base: Config | None = None, **overrides) -> Config:
+    """Stage-2 fine-tune schedule (reference ``poc/main.py:930-941``):
+    lr 5e-4, 2000 epochs, same batch size; wavefunction nets frozen by the
+    caller via ``training.engine.finetune``."""
+    base = base or Config()
+    cfg = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, lr=5e-4, epochs=2_000))
+    return dataclasses.replace(cfg, **overrides)
+
+
+def smoke_config(**overrides) -> Config:
+    """Tiny config for tests/CI: small batch, few epochs."""
+    base = Config(
+        train=TrainConfig(n_train=512, epochs=20, scan_chunk=10),
+    )
+    return dataclasses.replace(base, **overrides)

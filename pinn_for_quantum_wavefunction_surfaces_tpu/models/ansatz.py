@@ -1,0 +1,208 @@
+"""The parametric H2+ ansatz psi(x, y, z; R) and eigenvalue head E(R).
+
+Physics-baked structure (reference ``poc/main.py:223-355``):
+
+    psi = gate(R) * NN_sym(x, y, z, R) + LCAO(x, y, z, R)
+    LCAO = exp(-r1) + P * exp(-r2),   nuclei at (+/-R, +/-ry, +/-rz)
+    NN_sym = Lin_out( base(f1, f2) + P * base(f1m, f2m) )   (mirror: x -> -x)
+    E(R)  = small MLP, output bias initialised to -1
+
+P = +1 selects the gerade ground state (1s sigma_g), P = -1 the ungerade
+excited state (2p sigma_u) (reference ``poc/main.py:243,260,292``).
+
+Everything here is a pure function over an explicit parameter pytree —
+no module state, so the same code path serves `jit`, `grad`, `vmap`,
+`shard_map` and the forward-Laplacian propagation in :mod:`..ops.fwdlap`.
+
+Two architectures:
+- ``symmetric`` — the paper model above (poc/main.py:247-267).
+- ``minimal``   — the rewrite in reference ``train.py:41-53``: no mirrored
+  branch (symmetrisation approximated by the factor 2 in ``linear(2*h, ...)``),
+  psi = f1 + f2 + h * gate(R).
+
+Parameter layout: ``{name: {"w": (d_in, d_out), "b": (d_out,)}}`` with the
+JAX convention y = x @ w + b (transposed w.r.t. torch's (out, in) storage).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import fwdlap
+
+# ---------------------------------------------------------------------------
+# Initialisation
+
+
+def _uniform(key, shape, bound, dtype):
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _init_linear(key, d_in, d_out, dtype, bias_bound=None):
+    """torch.nn.Linear default init: U(+/- 1/sqrt(fan_in)) for both weight and
+    bias (kaiming_uniform(a=sqrt(5)) collapses to exactly this bound)."""
+    kw, kb = jax.random.split(key)
+    bw = 1.0 / jnp.sqrt(d_in).astype(dtype)
+    bb = bw if bias_bound is None else jnp.asarray(bias_bound, dtype)
+    return {
+        "w": _uniform(kw, (d_in, d_out), bw, dtype),
+        "b": _uniform(kb, (d_out,), bb, dtype),
+    }
+
+
+def init_params(key: jax.Array, mcfg: ModelConfig, dtype=jnp.float32) -> dict:
+    """Build the parameter pytree.
+
+    - ``symmetric``: torch Linear defaults; E-head output bias set to
+      ``eout_bias_init`` (-1, reference poc/main.py:240).
+    - ``minimal``: reference ``train.py:13-18`` draws every tensor from
+      U(+/- 1/sqrt(shape[0])) — for biases that is 1/sqrt(fan_out).
+    """
+    dtype = jnp.dtype(dtype)
+    keys = jax.random.split(key, 8)
+    h, he, hg = mcfg.hidden, mcfg.hidden_e, mcfg.hidden_gate
+    if mcfg.arch == "minimal":
+        def lin(k, d_in, d_out):
+            return _init_linear(k, d_in, d_out, dtype,
+                                bias_bound=1.0 / (d_out ** 0.5))
+    else:
+        lin = lambda k, d_in, d_out: _init_linear(k, d_in, d_out, dtype)
+    params = {
+        "h1": lin(keys[0], 2, h),
+        "h2": lin(keys[1], h, h),
+        "out": lin(keys[2], h, 1),
+        "e1": lin(keys[3], 1, he),
+        "e2": lin(keys[4], he, he),
+        "eout": lin(keys[5], he, 1),
+        "gate1": lin(keys[6], 1, hg),
+        "gate2": lin(keys[7], hg, 1),
+    }
+    if mcfg.arch == "symmetric":
+        params["eout"]["b"] = jnp.full((1,), mcfg.eout_bias_init, dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Value-only forward passes (probes, quadrature, parity io)
+
+
+def _mlp2(x, l1, l2, l3=None):
+    """sigmoid MLP: sig(x@w1+b1) -> sig(.@w2+b2) [-> .@w3+b3]."""
+    y = jax.nn.sigmoid(x @ l1["w"] + l1["b"])
+    y = jax.nn.sigmoid(y @ l2["w"] + l2["b"])
+    if l3 is not None:
+        y = y @ l3["w"] + l3["b"]
+    return y
+
+
+def energy(params: dict, r: jax.Array) -> jax.Array:
+    """E(R) eigenvalue head (reference poc/main.py:249-253). r: (...,)."""
+    return _mlp2(r[..., None], params["e1"], params["e2"],
+                 params["eout"])[..., 0]
+
+
+def gate(params: dict, r: jax.Array) -> jax.Array:
+    """Gate / 'network importance' f(R) (reference poc/main.py:262-264)."""
+    y = jax.nn.sigmoid(r[..., None] @ params["gate1"]["w"]
+                       + params["gate1"]["b"])
+    return (y @ params["gate2"]["w"] + params["gate2"]["b"])[..., 0]
+
+
+def _envelopes(mcfg: ModelConfig, x, y, z, r, mirror_x=False):
+    """exp(-r1), exp(-r2) for nuclei at (+/-R, +/-ry, +/-rz)
+    (reference poc/main.py:269-284)."""
+    xs = -x if mirror_x else x
+    r1 = jnp.sqrt((xs - r) ** 2 + (y - mcfg.ry) ** 2 + (z - mcfg.rz) ** 2)
+    r2 = jnp.sqrt((xs + r) ** 2 + (y + mcfg.ry) ** 2 + (z + mcfg.rz) ** 2)
+    return jnp.exp(-r1), jnp.exp(-r2)
+
+
+def lcao(mcfg: ModelConfig, x, y, z, r) -> jax.Array:
+    """Analytic LCAO part: exp(-r1) + P exp(-r2) (reference poc/main.py:286-293)."""
+    f1, f2 = _envelopes(mcfg, x, y, z, r)
+    return f1 + mcfg.inversion_symmetry * f2
+
+
+def _base(params, f1, f2):
+    """The correction MLP body on stacked envelopes (reference poc/main.py:295-303)."""
+    h = jnp.stack([f1, f2], axis=-1)
+    return _mlp2(h, params["h1"], params["h2"])
+
+
+def psi(params: dict, mcfg: ModelConfig, x, y, z, r):
+    """Full ansatz forward: returns (psi, E), both shaped like x.
+
+    x, y, z, r: (...,) arrays (R is the half internuclear distance per point).
+    """
+    e = energy(params, r)
+    f1, f2 = _envelopes(mcfg, x, y, z, r)
+    g = gate(params, r)
+    if mcfg.arch == "minimal":
+        # reference train.py:45-53
+        h = _base(params, f1, f2)
+        nn = (2.0 * h) @ params["out"]["w"] + params["out"]["b"]
+        out = f1 + f2 + nn[..., 0] * g
+        return out, e
+    # symmetric (poc): mirrored weight-shared branch
+    f1m, f2m = _envelopes(mcfg, x, y, z, r, mirror_x=True)
+    b = _base(params, f1, f2) + mcfg.inversion_symmetry * _base(params, f1m, f2m)
+    nn = b @ params["out"]["w"] + params["out"]["b"]
+    n_lcao = f1 + mcfg.inversion_symmetry * f2
+    return nn[..., 0] * g + n_lcao, e
+
+
+# ---------------------------------------------------------------------------
+# Fused forward-Laplacian pass (the hot path)
+
+
+def _base_fwdlap(params, s):
+    s = fwdlap.linear(s, params["h1"]["w"], params["h1"]["b"])
+    s = fwdlap.sigmoid(s)
+    s = fwdlap.linear(s, params["h2"]["w"], params["h2"]["b"])
+    return fwdlap.sigmoid(s)
+
+
+def _flip_gx(s: fwdlap.Spatial) -> fwdlap.Spatial:
+    """Convert gradients taken w.r.t. (-x, y, z) into gradients w.r.t.
+    (x, y, z): negate the x row. The laplacian is mirror-invariant."""
+    g = s.g.at[..., 0, :].multiply(-1.0)
+    return fwdlap.Spatial(s.v, g, s.l)
+
+
+def psi_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
+    """Fused pass returning (Spatial(psi), E): psi, grad psi and lap psi in a
+    single forward traversal — replaces the reference's 6-pass
+    ``autograd.grad`` chain (poc/main.py:82-97) with closed-form propagation.
+    """
+    e = energy(params, r)
+    g_r = gate(params, r)[..., None]  # (..., 1), spatially constant
+    p = float(mcfg.inversion_symmetry)
+
+    f1 = fwdlap.orbital_envelope(x, y, z, r, mcfg.ry, mcfg.rz)
+    f2 = fwdlap.orbital_envelope(x, y, z, -r, -mcfg.ry, -mcfg.rz)
+
+    if mcfg.arch == "minimal":
+        s = fwdlap.concat([f1, f2])
+        s = _base_fwdlap(params, s)
+        s = fwdlap.scale(s, jnp.asarray(2.0, s.v.dtype))
+        s = fwdlap.linear(s, params["out"]["w"], params["out"]["b"])
+        s = fwdlap.scale(s, g_r)
+        out = fwdlap.add(fwdlap.add(f1, f2), s)
+        return out, e
+
+    # symmetric: mirrored branch evaluated at -x, gradients re-oriented
+    f1m = _flip_gx(fwdlap.orbital_envelope(-x, y, z, r, mcfg.ry, mcfg.rz))
+    f2m = _flip_gx(fwdlap.orbital_envelope(-x, y, z, -r, -mcfg.ry, -mcfg.rz))
+    b = _base_fwdlap(params, fwdlap.concat([f1, f2]))
+    bm = _base_fwdlap(params, fwdlap.concat([f1m, f2m]))
+    s = fwdlap.add(b, fwdlap.scale(bm, jnp.asarray(p, b.v.dtype)))
+    s = fwdlap.linear(s, params["out"]["w"], params["out"]["b"])
+    s = fwdlap.scale(s, g_r)
+    n_lcao = fwdlap.add(f1, fwdlap.scale(f2, jnp.asarray(p, f2.v.dtype)))
+    return fwdlap.add(s, n_lcao), e
+
+
+def param_count(params: dict) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))

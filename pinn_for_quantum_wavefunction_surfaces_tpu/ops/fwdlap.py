@@ -1,0 +1,149 @@
+"""Forward-Laplacian propagation: exact Laplacians in ONE fused forward pass.
+
+The reference computes the Laplacian of psi with six chained
+``torch.autograd.grad(create_graph=True)`` calls per step (reference
+``poc/main.py:82-97``, ``train.py:8-10``), which builds and re-traverses
+higher-order graphs every epoch. On TPU we instead propagate the triple
+
+    (value v, spatial gradient g, laplacian l)
+
+through every layer in closed form (the "forward Laplacian" scheme of
+Li et al., arXiv:2307.08214). One pass over the network yields psi, grad(psi)
+and lap(psi) simultaneously; XLA fuses the whole thing into a handful of
+VPU/MXU ops with no autodiff graph re-materialisation. This is the single
+biggest idiomatic win of the rebuild — the nested-AD path is kept in
+``ops/operators.py`` purely as a correctness oracle for tests.
+
+Shapes (batch-first, d = feature width):
+    v: (..., d)     values
+    g: (..., 3, d)  d/dx, d/dy, d/dz stacked on axis -2
+    l: (..., d)     laplacian (trace of the spatial Hessian)
+
+All rules are the standard calculus identities:
+    linear:       v' = vW + b,   g' = gW,          l' = lW
+    elementwise:  v' = f(v),     g' = f'(v) g,     l' = f'(v) l + f''(v) * sum_i g_i^2
+    product:      lap(ab) = a lap(b) + b lap(a) + 2 grad(a).grad(b)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Spatial(NamedTuple):
+    """A value together with its spatial gradient and laplacian."""
+
+    v: jax.Array  # (..., d)
+    g: jax.Array  # (..., 3, d)
+    l: jax.Array  # (..., d)
+
+
+def const(v: jax.Array) -> Spatial:
+    """Lift a spatially-constant array (e.g. a function of R only)."""
+    z = jnp.zeros_like(v)
+    g = jnp.zeros(v.shape[:-1] + (3,) + v.shape[-1:], v.dtype)
+    return Spatial(v, g, z)
+
+
+def linear(s: Spatial, w: jax.Array, b: jax.Array | None = None) -> Spatial:
+    """Affine layer y = s @ w (+ b);  w: (d_in, d_out)."""
+    v = s.v @ w
+    if b is not None:
+        v = v + b
+    return Spatial(v, s.g @ w, s.l @ w)
+
+
+def _elementwise(s: Spatial, f, f1, f2) -> Spatial:
+    """Apply scalar f with first/second derivatives f1, f2 elementwise."""
+    fv = f(s.v)
+    d1 = f1(s.v)
+    d2 = f2(s.v)
+    g = d1[..., None, :] * s.g
+    gsq = jnp.sum(s.g * s.g, axis=-2)  # sum_i (d s / d x_i)^2
+    return Spatial(fv, g, d1 * s.l + d2 * gsq)
+
+
+def sigmoid(s: Spatial) -> Spatial:
+    sg = jax.nn.sigmoid(s.v)
+    d1 = sg * (1.0 - sg)
+    d2 = d1 * (1.0 - 2.0 * sg)
+    g = d1[..., None, :] * s.g
+    gsq = jnp.sum(s.g * s.g, axis=-2)
+    return Spatial(sg, g, d1 * s.l + d2 * gsq)
+
+
+def tanh(s: Spatial) -> Spatial:
+    t = jnp.tanh(s.v)
+    d1 = 1.0 - t * t
+    d2 = -2.0 * t * d1
+    g = d1[..., None, :] * s.g
+    gsq = jnp.sum(s.g * s.g, axis=-2)
+    return Spatial(t, g, d1 * s.l + d2 * gsq)
+
+
+def exp(s: Spatial) -> Spatial:
+    return _elementwise(s, jnp.exp, jnp.exp, jnp.exp)
+
+
+def add(a: Spatial, b: Spatial) -> Spatial:
+    return Spatial(a.v + b.v, a.g + b.g, a.l + b.l)
+
+
+def sub(a: Spatial, b: Spatial) -> Spatial:
+    return Spatial(a.v - b.v, a.g - b.g, a.l - b.l)
+
+
+def scale(s: Spatial, c) -> Spatial:
+    """Multiply by a spatial constant (scalar or array broadcastable on v)."""
+    c = jnp.asarray(c)
+    return Spatial(s.v * c, s.g * c[..., None, :] if c.ndim else s.g * c,
+                   s.l * c)
+
+
+def mul(a: Spatial, b: Spatial) -> Spatial:
+    """Product rule, including the laplacian cross term."""
+    v = a.v * b.v
+    g = a.g * b.v[..., None, :] + b.g * a.v[..., None, :]
+    cross = 2.0 * jnp.sum(a.g * b.g, axis=-2)
+    l = a.l * b.v + b.l * a.v + cross
+    return Spatial(v, g, l)
+
+
+def concat(parts: list[Spatial], axis: int = -1) -> Spatial:
+    assert axis == -1
+    return Spatial(
+        jnp.concatenate([p.v for p in parts], axis=-1),
+        jnp.concatenate([p.g for p in parts], axis=-1),
+        jnp.concatenate([p.l for p in parts], axis=-1),
+    )
+
+
+def orbital_envelope(x: jax.Array, y: jax.Array, z: jax.Array,
+                     cx, cy, cz) -> Spatial:
+    """The 1s atomic-orbital envelope f = exp(-r) centred at (cx, cy, cz),
+    seeded with its analytic gradient and laplacian:
+
+        r       = |p - c|
+        grad f  = -f * u             (u = (p - c)/r, the unit vector)
+        lap  f  =  f * (1 - 2/r)     (since lap r = 2/r, |grad r| = 1)
+
+    Mirrors the reference's ``atomicAct_s(toR(...))`` (poc/main.py:64-78,
+    269-284) but carries derivatives analytically, so the nuclear-cusp
+    singularity appears only through the explicit 1/r (clamped upstream by the
+    sampler's cutoff, reference poc/main.py:148-149).
+
+    Inputs are (...,) scalars per point; output feature width is 1.
+    """
+    dx, dy, dz = x - cx, y - cy, z - cz
+    r2 = dx * dx + dy * dy + dz * dz
+    r = jnp.sqrt(r2)
+    f = jnp.exp(-r)
+    inv_r = 1.0 / r
+    v = f[..., None]
+    u = jnp.stack([dx, dy, dz], axis=-1) * inv_r[..., None]  # (..., 3)
+    g = (-f[..., None] * u)[..., :, None]                    # (..., 3, 1)
+    l = (f * (1.0 - 2.0 * inv_r))[..., None]
+    return Spatial(v, g, l)

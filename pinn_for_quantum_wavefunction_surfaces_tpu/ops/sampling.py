@@ -1,0 +1,79 @@
+"""Collocation sampling for the 4-D (x, y, z, R) training domain.
+
+TPU-first rewrite of reference ``poc/main.py:124-156`` / ``train.py:26-39``:
+- JAX threaded PRNG keys instead of stateful ``torch.rand`` — resampling inside
+  a jitted ``lax.scan`` step is pure;
+- the boundary sets (points with r >= BCcutoff) become fixed-shape boolean
+  MASKS with (sum, count) reductions instead of ``torch.where`` index tensors —
+  shapes stay static under `jit` and the masked means shard correctly across a
+  device mesh (a mean-of-per-shard-means would be wrong when shard boundary
+  counts differ).
+
+Semantics preserved exactly (reference poc/main.py:148-149, train.py:34-37):
+points that land within ``cutoff`` of either nucleus get their **x coordinate**
+set to ``cutoff``, then radii are recomputed before building boundary masks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .operators import radial
+
+
+class Batch(NamedTuple):
+    """A fixed-shape collocation batch; all fields (n,)-shaped except masks."""
+
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    r: jax.Array        # half internuclear distance per point
+    bc1: jax.Array      # bool: r1 >= bc_cutoff (boundary-decay set 1)
+    bc2: jax.Array      # bool: r2 >= bc_cutoff
+
+
+def sample_batch(key: jax.Array, cfg: Config, n: int | None = None,
+                 dtype=None) -> Batch:
+    """Draw n uniform collocation points with the singularity clamp applied."""
+    dom, mcfg = cfg.domain, cfg.model
+    n = cfg.train.n_train if n is None else n
+    dtype = jnp.dtype(cfg.dtype) if dtype is None else jnp.dtype(dtype)
+    kx, ky, kz, kr = jax.random.split(key, 4)
+    b = dom.box
+    x = jax.random.uniform(kx, (n,), dtype, -b, b)
+    y = jax.random.uniform(ky, (n,), dtype, -b, b)
+    z = jax.random.uniform(kz, (n,), dtype, -b, b)
+    if dom.fixed_r is not None:
+        r = jnp.full((n,), dom.fixed_r, dtype)
+    else:
+        r = jax.random.uniform(kr, (n,), dtype, dom.r_lo, dom.r_hi)
+    # Nuclear-singularity clamp: move x to `cutoff` where either radius is
+    # inside the cutoff ball, then recompute radii (poc/main.py:147-149).
+    r1, r2 = radial(mcfg, x, y, z, r)
+    x = jnp.where((r1 < dom.cutoff) | (r2 < dom.cutoff),
+                  jnp.asarray(dom.cutoff, dtype), x)
+    r1, r2 = radial(mcfg, x, y, z, r)
+    return Batch(x, y, z, r, r1 >= dom.bc_cutoff, r2 >= dom.bc_cutoff)
+
+
+def linear_axes(cfg: Config, n: int | None = None, dtype=jnp.float64):
+    """1-D linearly spaced axes for test/quadrature grids
+    (reference ``sampling(..., linearSampling=True)``, poc/main.py:133-140).
+    Returns (x_axis, y_axis, z_axis, r_axis)."""
+    dom = cfg.domain
+    n = cfg.train.n_train if n is None else n
+    x = jnp.linspace(-dom.box, dom.box, n, dtype=dtype)
+    r = jnp.linspace(dom.r_lo, dom.r_hi, n, dtype=dtype)
+    return x, x, x, r
+
+
+def masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
+    """Mean of ``values`` over ``mask`` with a fixed shape: sum/count, guarded
+    against empty masks. Under pjit/global semantics the sums reduce globally,
+    which is exactly the single-device answer."""
+    count = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, values, 0.0)) / count

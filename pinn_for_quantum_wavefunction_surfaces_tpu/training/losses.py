@@ -1,0 +1,53 @@
+"""Loss functions: PDE residual + boundary-decay penalty.
+
+Reference semantics (``poc/main.py:341-355``, ``train.py:54-57``):
+
+    L_pde = mean(residual^2)            over the whole collocation batch
+    L_bc  = mean(psi^2 | r1 >= BCcutoff) + mean(psi^2 | r2 >= BCcutoff)
+    L_tot = lam_pde * L_pde + lam_bc * L_bc        (lam = 1, 1)
+
+The boundary terms are masked fixed-shape means (see ops/sampling.py) so the
+loss is identical under jit on one chip and under pjit/shard_map on a mesh.
+The residual uses the fused forward-Laplacian pass — one network traversal
+yields psi, lap psi and E simultaneously.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..models import ansatz
+from ..ops import operators
+from ..ops.sampling import Batch, masked_mean
+
+
+class LossAux(NamedTuple):
+    l_pde: jax.Array
+    l_bc: jax.Array
+    e_last: jax.Array   # E of the last batch point (reference history E_h[tt]=E[-1])
+    e_mean: jax.Array
+
+
+def loss_fn(params: dict, cfg: Config, batch: Batch,
+            lam_pde: float = 1.0, lam_bc: float = 1.0):
+    """Total loss and aux metrics for one collocation batch."""
+    s, e = ansatz.psi_fwdlap(params, cfg.model, batch.x, batch.y, batch.z,
+                             batch.r)
+    res = operators.RESIDUALS[cfg.convention](
+        cfg.model, batch.x, batch.y, batch.z, batch.r, s.v[..., 0],
+        s.l[..., 0], e)
+    l_pde = jnp.mean(res ** 2)
+    psi2 = s.v[..., 0] ** 2
+    l_bc = masked_mean(psi2, batch.bc1) + masked_mean(psi2, batch.bc2)
+    l_tot = lam_pde * l_pde + lam_bc * l_bc
+    return l_tot, LossAux(l_pde, l_bc, e[-1], jnp.mean(e))
+
+
+def loss_and_grad(params: dict, cfg: Config, batch: Batch):
+    (l, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg, batch)
+    return l, aux, grads

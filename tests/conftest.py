@@ -1,0 +1,32 @@
+"""Test harness: force an 8-device virtual CPU mesh and float64.
+
+This must run before any JAX backend initialises:
+- ``xla_force_host_platform_device_count=8`` is the JAX-idiomatic "fake
+  backend" for multi-chip tests (SURVEY.md section 4) — shard_map/pjit paths
+  are exercised on 8 virtual CPU devices without a pod;
+- the image's sitecustomize force-registers the remote `axon` TPU backend in
+  every interpreter and rewrites ``jax_platforms``; resetting it to "cpu"
+  here keeps tests off the (serialised, slow-to-claim) TPU tunnel.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def reference_available():
+    return os.path.isdir("/root/reference")

@@ -1,0 +1,80 @@
+"""Collocation sampling semantics and loss reductions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
+from pinn_for_quantum_wavefunction_surfaces_tpu.models import ansatz
+from pinn_for_quantum_wavefunction_surfaces_tpu.ops import operators
+from pinn_for_quantum_wavefunction_surfaces_tpu.ops.sampling import (
+    Batch, masked_mean, sample_batch)
+from pinn_for_quantum_wavefunction_surfaces_tpu.training import losses
+
+
+def test_sample_bounds_and_clamp():
+    cfg = pqs.Config(dtype="float64")
+    b = sample_batch(jax.random.PRNGKey(0), cfg, n=50_000)
+    dom = cfg.domain
+    for a in (b.x, b.y, b.z):
+        assert float(jnp.max(jnp.abs(a))) <= dom.box
+    assert float(jnp.min(b.r)) >= dom.r_lo
+    assert float(jnp.max(b.r)) <= dom.r_hi
+    # clamp: no point inside the cutoff ball of either nucleus
+    r1, r2 = operators.radial(cfg.model, b.x, b.y, b.z, b.r)
+    # after the clamp+recompute, radii may still be small but the original
+    # offending points had x reset to cutoff — verify masks consistent
+    np.testing.assert_array_equal(np.asarray(b.bc1),
+                                  np.asarray(r1 >= dom.bc_cutoff))
+    np.testing.assert_array_equal(np.asarray(b.bc2),
+                                  np.asarray(r2 >= dom.bc_cutoff))
+    # boundary sets are non-empty at this batch size with box=18
+    assert int(jnp.sum(b.bc1)) > 0 and int(jnp.sum(b.bc2)) > 0
+
+
+def test_fixed_r_mode():
+    cfg = pqs.Config(domain=pqs.DomainConfig(fixed_r=2.0), dtype="float64")
+    b = sample_batch(jax.random.PRNGKey(0), cfg, n=100)
+    np.testing.assert_allclose(np.asarray(b.r), 2.0)
+
+
+def test_masked_mean_equals_subset_mean():
+    v = jnp.asarray(np.random.RandomState(0).randn(1000))
+    m = v > 0.3
+    np.testing.assert_allclose(float(masked_mean(v, m)),
+                               float(jnp.mean(v[m])), rtol=1e-12)
+    # empty mask -> 0, not NaN
+    assert float(masked_mean(v, jnp.zeros_like(m))) == 0.0
+
+
+def test_loss_matches_reference_semantics():
+    """L_tot == mean(res^2) + mean(psi^2 | bc1) + mean(psi^2 | bc2),
+    computed independently with dense indexing."""
+    cfg = pqs.Config(dtype="float64")
+    params = ansatz.init_params(jax.random.PRNGKey(1), cfg.model, jnp.float64)
+    b = sample_batch(jax.random.PRNGKey(2), cfg, n=4096)
+    l_tot, aux = losses.loss_fn(params, cfg, b)
+
+    s, e = ansatz.psi_fwdlap(params, cfg.model, b.x, b.y, b.z, b.r)
+    res = operators.residual_poc(cfg.model, b.x, b.y, b.z, b.r, s.v[..., 0],
+                                 s.l[..., 0], e)
+    psi2 = np.asarray(s.v[..., 0]) ** 2
+    expect_pde = float(jnp.mean(res ** 2))
+    expect_bc = psi2[np.asarray(b.bc1)].mean() + psi2[np.asarray(b.bc2)].mean()
+    np.testing.assert_allclose(float(aux.l_pde), expect_pde, rtol=1e-12)
+    np.testing.assert_allclose(float(aux.l_bc), expect_bc, rtol=1e-12)
+    np.testing.assert_allclose(float(l_tot), expect_pde + expect_bc,
+                               rtol=1e-12)
+
+
+def test_minimal_convention_residual():
+    """minimal residual = lap psi + (e + 1/r1 + 1/r2) psi."""
+    cfg = pqs.minimal_config(dtype="float64")
+    params = ansatz.init_params(jax.random.PRNGKey(1), cfg.model, jnp.float64)
+    b = sample_batch(jax.random.PRNGKey(2), cfg, n=512)
+    s, e = ansatz.psi_fwdlap(params, cfg.model, b.x, b.y, b.z, b.r)
+    r1, r2 = operators.radial(cfg.model, b.x, b.y, b.z, b.r)
+    expect = s.l[..., 0] + (e + 1 / r1 + 1 / r2) * s.v[..., 0]
+    got = operators.residual_minimal(cfg.model, b.x, b.y, b.z, b.r,
+                                     s.v[..., 0], s.l[..., 0], e)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-12)
