@@ -42,12 +42,20 @@ def measure_ours(n: int, steps: int, dtype: str) -> dict:
         return jax.lax.scan(step, state, None, length=k)
 
     chunk = jax.jit(chunk, static_argnums=1)
-    # compile + warmup
-    state, _ = chunk(state, 2)
-    jax.block_until_ready(state.params)
+
+    def sync(x):
+        # block_until_ready is lazy on remote PJRT backends; a host transfer
+        # is a reliable completion barrier
+        import numpy as np
+        return float(np.asarray(x))
+
+    # compile + warmup with the SAME scan length (each length is a separate
+    # executable and remote compiles are expensive)
+    state, hist = chunk(state, steps)
+    sync(hist.l_tot[-1])
     t0 = time.perf_counter()
     state, hist = chunk(state, steps)
-    jax.block_until_ready(state.params)
+    sync(hist.l_tot[-1])
     dt = time.perf_counter() - t0
     dev = jax.devices()[0]
     return {

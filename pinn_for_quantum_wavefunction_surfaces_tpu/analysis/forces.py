@@ -48,10 +48,23 @@ def denergy_dr_fd(params, r_values, eps: float = 1e-4,
     return np.asarray(g)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n", "scheme"))
-def _hf_integral(params, cfg: Config, ri, n: int, scheme: str):
-    """(<psi| dV/dR |psi>, <psi|psi>) over the quadrature grid."""
-    dom = cfg.domain
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n", "scheme", "regularized"))
+def _hf_integral(params, cfg: Config, ri, n: int, scheme: str,
+                 regularized: bool):
+    """(<psi| dV/dR |psi>, <psi|psi>) over the quadrature grid.
+
+    The raw integrand psi^2 * (x -+ R)/r^3 has 1/r^2 singularities at the
+    nuclei and does NOT converge on a uniform grid (the reference's
+    ``dEdR_int`` shares this defect — same grid, same integrand). With
+    ``regularized`` (default), each nuclear term is tamed by singularity
+    subtraction: for any spherically-symmetric s(r) around a nucleus,
+    the odd-angular integral  integral s(r) (x-R)/r^3 d^3r  vanishes
+    EXACTLY, so subtracting  psi^2(nucleus) * exp(-2r)  changes nothing
+    analytically but removes the 1/r^2 blow-up (the residue is O(1/r),
+    same class as the Coulomb potential the quadrature already handles).
+    """
+    dom, mcfg = cfg.domain, cfg.model
     dtype = jnp.result_type(*jax.tree.leaves(params))
     ax = jnp.linspace(-dom.box, dom.box, n, dtype=dtype)
     dx = 2.0 * dom.box / (n - 1)
@@ -60,12 +73,29 @@ def _hf_integral(params, cfg: Config, ri, n: int, scheme: str):
     yf, zf = yg.ravel(), zg.ravel()
     wyz = (w[:, None] * w[None, :]).ravel()
 
+    ri_arr = jnp.asarray([ri], dtype)
+    psi_n1, _ = ansatz.psi(params, mcfg, ri_arr, jnp.asarray([mcfg.ry], dtype),
+                           jnp.asarray([mcfg.rz], dtype), ri_arr)
+    psi_n2, _ = ansatz.psi(params, mcfg, -ri_arr,
+                           jnp.asarray([-mcfg.ry], dtype),
+                           jnp.asarray([-mcfg.rz], dtype), ri_arr)
+    a1 = psi_n1[0] ** 2
+    a2 = psi_n2[0] ** 2
+
     def slab(xi):
         xs = jnp.full_like(yf, xi)
         rs = jnp.full_like(yf, ri)
-        psi, _ = ansatz.psi(params, cfg.model, xs, yf, zf, rs)
-        vr = operators.potential_dR(cfg.model, xs, yf, zf, rs)
-        return (jnp.sum(wyz * psi * vr * psi), jnp.sum(wyz * psi * psi))
+        psi, _ = ansatz.psi(params, mcfg, xs, yf, zf, rs)
+        psi2 = psi * psi
+        r1, r2 = operators.radial(mcfg, xs, yf, zf, rs)
+        t1 = -(xs - rs) / r1 ** 3
+        t2 = (xs + rs) / r2 ** 3
+        if regularized:
+            num = ((psi2 - a1 * jnp.exp(-2.0 * r1)) * t1
+                   + (psi2 - a2 * jnp.exp(-2.0 * r2)) * t2)
+        else:
+            num = psi2 * (t1 + t2)
+        return (jnp.sum(wyz * num), jnp.sum(wyz * psi2))
 
     nums, dens = jax.lax.map(slab, ax)
     return jnp.sum(w * nums), jnp.sum(w * dens)
@@ -73,11 +103,14 @@ def _hf_integral(params, cfg: Config, ri, n: int, scheme: str):
 
 def denergy_dr_hellmann_feynman(params, cfg: Config, ri: float,
                                 n: int | None = None, scheme: str = "avg",
-                                total: bool = True) -> float:
+                                total: bool = True,
+                                regularized: bool = True) -> float:
     """Hellmann-Feynman dE/dR (reference ``dEdR_int``, poc/main.py:647-676):
-    normalised <psi|dV/dR|psi> minus 1/(2R^2) for the nuclear term."""
+    normalised <psi|dV/dR|psi>, minus 1/(2R^2) for the nuclear term when
+    ``total``. ``regularized=False`` reproduces the reference's raw
+    (non-convergent) integrand for parity."""
     n = n or cfg.train.n_test
-    num, den = _hf_integral(params, cfg, float(ri), n, scheme)
+    num, den = _hf_integral(params, cfg, float(ri), n, scheme, regularized)
     de = float(num / den)
     if total:
         de -= 1.0 / (2.0 * ri ** 2)

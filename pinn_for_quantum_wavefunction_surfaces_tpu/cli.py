@@ -181,6 +181,27 @@ def cmd_analyze(args) -> None:
     print(json.dumps({"figures": paths}))
 
 
+def cmd_sweep(args) -> None:
+    """Per-R multi-model family (legacy mode): vmapped across the sweep."""
+    from .training import sweep
+    cfg = _build_cfg(args)
+    rs = args.r_values or list(np.round(np.arange(
+        cfg.domain.r_lo, cfg.domain.r_hi + 1e-9, args.r_step), 2))
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh)
+    out = sweep.train_per_r_vmapped(cfg, rs, mesh=mesh)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".",
+                exist_ok=True)
+    with open(args.out, "wb") as f:
+        pickle.dump({"R": out["R"], "E_net": out["E_net"],
+                     "best_loss": out["best_loss"]}, f)
+    print(json.dumps({"out": args.out,
+                      "R": list(map(float, out["R"])),
+                      "E_net": [round(float(e), 6) for e in out["E_net"]]}))
+
+
 def cmd_export(args) -> None:
     from .io import checkpoint, modelbin
     params = _load_params(args.input)
@@ -232,6 +253,13 @@ def main(argv=None) -> None:
     p.add_argument("--forces", action="store_true")
     p.add_argument("--history", help="history.pkl for the loss figure")
     p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("sweep", help="per-R multi-model family (legacy mode)")
+    _add_common(p, train=True)
+    p.add_argument("--r-values", type=float, nargs="*", dest="r_values")
+    p.add_argument("--r-step", type=float, default=0.5, dest="r_step")
+    p.add_argument("--out", default="runs/sweep/energy_sweep.pkl")
+    p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("export", help="convert checkpoint formats")
     p.add_argument("input", help=".npz | .pt | .bin")

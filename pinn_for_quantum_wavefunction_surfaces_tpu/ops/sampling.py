@@ -60,6 +60,27 @@ def sample_batch(key: jax.Array, cfg: Config, n: int | None = None,
     return Batch(x, y, z, r, r1 >= dom.bc_cutoff, r2 >= dom.bc_cutoff)
 
 
+def sample_batch_at_r(key: jax.Array, cfg: Config, r_value,
+                      n: int | None = None, dtype=None) -> Batch:
+    """Like :func:`sample_batch` but with the half-distance pinned to a traced
+    value (scalar or (n,) array) — used by the per-R sweep where R is a
+    runtime quantity, not config. Clamp and masks use the pinned R."""
+    dom, mcfg = cfg.domain, cfg.model
+    n = cfg.train.n_train if n is None else n
+    dtype = jnp.dtype(cfg.dtype) if dtype is None else jnp.dtype(dtype)
+    kx, ky, kz = jax.random.split(key, 3)
+    b = dom.box
+    x = jax.random.uniform(kx, (n,), dtype, -b, b)
+    y = jax.random.uniform(ky, (n,), dtype, -b, b)
+    z = jax.random.uniform(kz, (n,), dtype, -b, b)
+    r = jnp.broadcast_to(jnp.asarray(r_value, dtype), (n,))
+    r1, r2 = radial(mcfg, x, y, z, r)
+    x = jnp.where((r1 < dom.cutoff) | (r2 < dom.cutoff),
+                  jnp.asarray(dom.cutoff, dtype), x)
+    r1, r2 = radial(mcfg, x, y, z, r)
+    return Batch(x, y, z, r, r1 >= dom.bc_cutoff, r2 >= dom.bc_cutoff)
+
+
 def linear_axes(cfg: Config, n: int | None = None, dtype=jnp.float64):
     """1-D linearly spaced axes for test/quadrature grids
     (reference ``sampling(..., linearSampling=True)``, poc/main.py:133-140).
