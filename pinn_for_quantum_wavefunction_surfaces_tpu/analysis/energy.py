@@ -42,7 +42,14 @@ def _rayleigh(params, cfg: Config, ri, n: int, scheme: str, which: str):
     w = jnp.asarray(quadrature.simpson_weights(n, dx, scheme), dtype)
     yg, zg = jnp.meshgrid(ax, ax, indexing="ij")
     yf, zf = yg.ravel(), zg.ravel()
+    wyz = (w[:, None] * w[None, :]).ravel()
+    slab = _slab_fn(params, cfg, ri, which, yf, zf, wyz)
+    nums, dens = jax.lax.map(slab, ax)
+    return jnp.sum(w * nums), jnp.sum(w * dens)
 
+
+def _slab_fn(params, cfg: Config, ri, which: str, yf, zf, wyz):
+    """Per-x-slab weighted partial sums of (psi H psi, psi^2)."""
     def slab(xi):
         xs = jnp.full_like(yf, xi)
         rs = jnp.full_like(yf, ri)
@@ -53,11 +60,54 @@ def _rayleigh(params, cfg: Config, ri, n: int, scheme: str, which: str):
         psi = s.v[..., 0]
         hpsi = operators.hamiltonian_values(cfg.model, xs, yf, zf, rs, psi,
                                             s.l[..., 0])
-        wyz = (w[:, None] * w[None, :]).ravel()
         return (jnp.sum(wyz * psi * hpsi), jnp.sum(wyz * psi * psi))
+    return slab
 
-    nums, dens = jax.lax.map(slab, ax)
-    return jnp.sum(w * nums), jnp.sum(w * dens)
+
+def rayleigh_quotient_sharded(params, cfg: Config, ri: float, mesh,
+                              n: Optional[int] = None, scheme: str = "avg",
+                              which: str = "model",
+                              axis: str = "data") -> float:
+    """Mesh-sharded Rayleigh quotient: the grid's x-axis is split across
+    devices (shard_map), each device streams its slab subset, and the
+    weighted partial sums are ``psum``-reduced over ICI. This is the
+    scale-out path for the dense grids that OOM'd the reference at 250^3
+    (poc/main.py:1461-1462) — per-device memory is O(n^2 / 1) and the grid
+    axis can grow with the mesh."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = n or cfg.train.n_test
+    dom = cfg.domain
+    dtype = jnp.result_type(*jax.tree.leaves(params))
+    n_dev = mesh.shape[axis]
+    n_pad = -(-n // n_dev) * n_dev
+
+    ax_np = np.linspace(-dom.box, dom.box, n)
+    dx = 2.0 * dom.box / (n - 1)
+    w_np = quadrature.simpson_weights(n, dx, scheme)
+    ax_p = jnp.asarray(np.pad(ax_np, (0, n_pad - n), mode="edge"), dtype)
+    w_p = jnp.asarray(np.pad(w_np, (0, n_pad - n)), dtype)  # zero-weight pad
+
+    ax1 = jnp.linspace(-dom.box, dom.box, n, dtype=dtype)
+    w1 = jnp.asarray(w_np, dtype)
+    yg, zg = jnp.meshgrid(ax1, ax1, indexing="ij")
+    yf, zf = yg.ravel(), zg.ravel()
+    wyz = (w1[:, None] * w1[None, :]).ravel()
+    slab = _slab_fn(params, cfg, jnp.asarray(ri, dtype), which, yf, zf, wyz)
+
+    @jax.jit
+    def run(ax_l, w_l):
+        def per_device(ax_d, w_d):
+            nums, dens = jax.lax.map(slab, ax_d)
+            return (jax.lax.psum(jnp.sum(w_d * nums), axis),
+                    jax.lax.psum(jnp.sum(w_d * dens), axis))
+        return shard_map(per_device, mesh=mesh,
+                         in_specs=(P(axis), P(axis)),
+                         out_specs=(P(), P()))(ax_l, w_l)
+
+    num, den = run(ax_p, w_p)
+    return float(num / den)
 
 
 def lcao_fwdlap(mcfg, x, y, z, r):

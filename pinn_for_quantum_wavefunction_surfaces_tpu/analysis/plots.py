@@ -120,6 +120,57 @@ def psi_cut_figure(params, cfg: Config, ri: float,
     return _save(fig, path)
 
 
+def psi_surface_figure(params, cfg: Config, ri: float,
+                       path: str | None = None, n: int = 120,
+                       half_width: float = 6.0, normalized: bool = True) -> str:
+    """3-D surface of psi(x, y, z=0) at fixed R (reference fig_R3-style
+    panel, poc/main.py:1098-1166)."""
+    import jax.numpy as jnp
+    from ..models import ansatz as _ansatz
+    ax = np.linspace(-half_width, half_width, n)
+    xg, yg = np.meshgrid(ax, ax, indexing="ij")
+    z = np.zeros_like(xg.ravel())
+    psi, _ = _ansatz.psi(params, cfg.model, jnp.asarray(xg.ravel()),
+                         jnp.asarray(yg.ravel()), jnp.asarray(z),
+                         jnp.full_like(jnp.asarray(z), ri))
+    psi = np.asarray(psi).reshape(n, n)
+    if normalized:
+        from . import probes
+        npsi, _ = probes.normalization(params, cfg, ri)
+        psi = psi * npsi
+    path = path or f"figures/psi_surface_R{ri:g}.pdf"
+    fig = plt.figure(figsize=(7, 6))
+    ax3 = fig.add_subplot(projection="3d")
+    ax3.plot_surface(xg, yg, psi, cmap="viridis", linewidth=0)
+    ax3.set_xlabel("x (bohr)")
+    ax3.set_ylabel("y (bohr)")
+    ax3.set_zlabel(r"$\psi(x, y, 0)$")
+    ax3.set_title(f"R = {ri:g}")
+    return _save(fig, path)
+
+
+def dispersion_figure(sweep_out: dict, path: str = "figures/dispersion.pdf",
+                      parametric_surface: dict | None = None) -> str:
+    """E(R) from the per-R model family vs the exact table — the legacy
+    'multi-model' dispersion plot (reference ``plot_EforR``,
+    poc/main.py:845-870), optionally overlaying the parametric model's
+    surface. Energies shown as total E + 1/(2R)."""
+    r = np.asarray(sweep_out["R"])
+    fig, ax = plt.subplots()
+    exact_r = np.linspace(r.min(), r.max(), 200)
+    ax.plot(exact_r, aen.exact_energy(exact_r) + 0.5 / exact_r, "k-",
+            label="exact (Wind 1965)")
+    ax.plot(r, sweep_out["E_net"] + 0.5 / r, "bo", label="per-R models")
+    if parametric_surface is not None:
+        rp = np.asarray(parametric_surface["R"])
+        ax.plot(rp, parametric_surface["E_net"] + 0.5 / rp, "g--",
+                label="parametric E(R)")
+    ax.set_xlabel("R (bohr, half-distance)")
+    ax.set_ylabel("E + 1/(2R) (Ha)")
+    ax.legend()
+    return _save(fig, path)
+
+
 def forces_figure(params, cfg: Config, r_values=None,
                   path: str = "figures/forces.pdf",
                   hf_points: int = 9) -> str:

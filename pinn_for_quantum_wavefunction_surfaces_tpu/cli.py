@@ -181,6 +181,22 @@ def cmd_analyze(args) -> None:
     print(json.dumps({"figures": paths}))
 
 
+def cmd_distill(args) -> None:
+    """Fit the E(R) head to the Rayleigh quotient of the trained psi."""
+    from .io import checkpoint
+    from .training import distill
+    cfg = _build_cfg(args)
+    params = _load_params(args.checkpoint)
+    params = {k: {kk: np.asarray(vv, cfg.dtype) for kk, vv in v.items()}
+              for k, v in params.items()}
+    new_params, info = distill.distill(params, cfg, n=args.n_test,
+                                       steps=args.steps)
+    checkpoint.save(args.out, {"params": new_params},
+                    meta={"fit_rms": info["fit_rms"]})
+    print(json.dumps({"out": args.out,
+                      "fit_rms_mHa": round(1e3 * info["fit_rms"], 4)}))
+
+
 def cmd_sweep(args) -> None:
     """Per-R multi-model family (legacy mode): vmapped across the sweep."""
     from .training import sweep
@@ -253,6 +269,15 @@ def main(argv=None) -> None:
     p.add_argument("--forces", action="store_true")
     p.add_argument("--history", help="history.pkl for the loss figure")
     p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("distill",
+                       help="fit E(R) head to the Rayleigh quotient of psi")
+    _add_common(p)
+    p.add_argument("checkpoint")
+    p.add_argument("--out", default="runs/distill/distilled.npz")
+    p.add_argument("--n-test", type=int, default=80, dest="n_test")
+    p.add_argument("--steps", type=int, default=5000)
+    p.set_defaults(fn=cmd_distill)
 
     p = sub.add_parser("sweep", help="per-R multi-model family (legacy mode)")
     _add_common(p, train=True)

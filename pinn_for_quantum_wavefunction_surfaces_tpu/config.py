@@ -66,6 +66,13 @@ class TrainConfig:
     resample_frac: float = 0.9   # resampling stops after this fraction of epochs
     best_after_frac: float = 0.5 # poc: persist best model only after 50% of epochs
     seed: int = 12345            # train.py:75 (poc sets no seed)
+    # Step-decay LR schedule (reference poc/main.py:36-37,367-369 creates
+    # StepLR(step=3000, gamma=0.7) but comments out scheduler.step() at
+    # poc/main.py:405-406 — so "none" reproduces the effective behaviour and
+    # "step" enables what the config intended).
+    lr_schedule: str = "none"    # "none" | "step"
+    sc_step: int = 3000
+    sc_decay: float = 0.7
     betas: tuple = (0.9, 0.999)
     eps: float = 1e-8
     scan_chunk: int = 250        # steps per jitted lax.scan chunk (host io boundary)

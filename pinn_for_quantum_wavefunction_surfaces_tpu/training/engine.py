@@ -71,9 +71,15 @@ class TrainResult:
 
 def make_optimizer(cfg: Config, frozen: frozenset = frozenset(),
                    params_template: Optional[dict] = None):
-    """Adam (reference lr/betas/eps) with optional frozen top-level subtrees."""
+    """Adam (reference lr/betas/eps) with optional frozen top-level subtrees
+    and optional step-decay LR schedule (see TrainConfig.lr_schedule)."""
     t = cfg.train
-    adam = optax.adam(t.lr, b1=t.betas[0], b2=t.betas[1], eps=t.eps)
+    if t.lr_schedule == "step":
+        lr = optax.exponential_decay(t.lr, transition_steps=t.sc_step,
+                                     decay_rate=t.sc_decay, staircase=True)
+    else:
+        lr = t.lr
+    adam = optax.adam(lr, b1=t.betas[0], b2=t.betas[1], eps=t.eps)
     if not frozen:
         return adam
     def labels(params):
