@@ -48,6 +48,42 @@ def _rayleigh(params, cfg: Config, ri, n: int, scheme: str, which: str):
     return jnp.sum(w * nums), jnp.sum(w * dens)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "which"))
+def _rayleigh_grid(params, cfg: Config, ri, xg, wx, yg, wy, zg, wz,
+                   which: str):
+    """Rayleigh-quotient sums on explicit per-axis (nodes, weights) — the
+    core for nucleus-adapted grids (see ops.quadrature.adapted_axis)."""
+    yy, zz = jnp.meshgrid(yg, zg, indexing="ij")
+    yf, zf = yy.ravel(), zz.ravel()
+    wyz = (wy[:, None] * wz[None, :]).ravel()
+    slab = _slab_fn(params, cfg, ri, which, yf, zf, wyz)
+    nums, dens = jax.lax.map(slab, xg)
+    return jnp.sum(wx * nums), jnp.sum(wx * dens)
+
+
+def rayleigh_quotient_adapted(params, cfg: Config, ri: float,
+                              n: Optional[int] = None,
+                              which: str = "model",
+                              strength: float = 0.45,
+                              sharpness: float = 2.0) -> float:
+    """E_int on a nucleus-adapted grid: x-axis nodes clustered at the two
+    nuclei (+-R), y/z axes at the molecular plane. Converges much faster in
+    n than the uniform grid for the cusped integrand (see
+    tests/test_quadrature.py)."""
+    n = n or cfg.train.n_test
+    dom = cfg.domain
+    dtype = jnp.result_type(*jax.tree.leaves(params))
+    xg, wx = quadrature.adapted_axis(n, dom.box, (-ri, ri), strength,
+                                     sharpness)
+    yg, wy = quadrature.adapted_axis(n, dom.box, (0.0,), strength, sharpness)
+    num, den = _rayleigh_grid(params, cfg, jnp.asarray(ri, dtype),
+                              jnp.asarray(xg, dtype), jnp.asarray(wx, dtype),
+                              jnp.asarray(yg, dtype), jnp.asarray(wy, dtype),
+                              jnp.asarray(yg, dtype), jnp.asarray(wy, dtype),
+                              which)
+    return float(num / den)
+
+
 def _slab_fn(params, cfg: Config, ri, which: str, yf, zf, wyz):
     """Per-x-slab weighted partial sums of (psi H psi, psi^2)."""
     def slab(xi):
@@ -135,10 +171,12 @@ def energy_net(params, ri) -> float:
 
 def surface(params, cfg: Config, r_values=None, n: int = 80,
             scheme: str = "avg", lcao: bool = True,
-            progress=None) -> dict:
+            grid: str = "uniform", progress=None) -> dict:
     """Sweep R and return the eigenvalue surface in the reference's artifact
     schema {R, E_int, Elcao, E_net} (reference ``calculate_E_R``,
-    poc/main.py:495-517)."""
+    poc/main.py:495-517). ``grid``: "uniform" (reference parity) or
+    "adapted" (nucleus-clustered nodes — far better converged, see
+    ops.quadrature.adapted_axis)."""
     dom = cfg.domain
     if r_values is None:
         r_values = np.round(np.arange(dom.r_lo, dom.r_hi + 0.1, 0.1), 2)
@@ -146,12 +184,18 @@ def surface(params, cfg: Config, r_values=None, n: int = 80,
     e_int = np.zeros(len(r_values))
     e_net = np.zeros(len(r_values))
     e_lcao = np.zeros(len(r_values))
+
+    def quotient(ri, which):
+        if grid == "adapted":
+            return rayleigh_quotient_adapted(params, cfg, float(ri), n=n,
+                                             which=which)
+        num, den = _rayleigh(params, cfg, float(ri), n, scheme, which)
+        return float(num / den)
+
     for i, ri in enumerate(r_values):
-        num, den = _rayleigh(params, cfg, float(ri), n, scheme, "model")
-        e_int[i] = float(num / den)
+        e_int[i] = quotient(ri, "model")
         if lcao:
-            num, den = _rayleigh(params, cfg, float(ri), n, scheme, "lcao")
-            e_lcao[i] = float(num / den)
+            e_lcao[i] = quotient(ri, "lcao")
         e_net[i] = energy_net(params, float(ri))
         if progress is not None:
             progress(i, len(r_values), ri)

@@ -34,11 +34,19 @@ def _build_cfg(args) -> "object":
         **{k: v for k, v in (("n_train", getattr(args, "n_train", None)),
                              ("epochs", getattr(args, "epochs", None)),
                              ("lr", getattr(args, "lr", None)),
-                             ("seed", getattr(args, "seed", None)))
+                             ("seed", getattr(args, "seed", None)),
+                             ("lr_schedule",
+                              getattr(args, "lr_schedule", None)),
+                             ("resample_frac",
+                              getattr(args, "resample_frac", None)))
            if v is not None})
     domain = cfg.domain
     if getattr(args, "fixed_r", None) is not None:
         domain = dataclasses.replace(domain, fixed_r=args.fixed_r)
+    if getattr(args, "sampler", None):
+        domain = dataclasses.replace(domain, sampler=args.sampler)
+    if getattr(args, "hidden", None):
+        model = dataclasses.replace(model, hidden=args.hidden)
     return dataclasses.replace(cfg, model=model, train=train, domain=domain,
                                dtype=args.dtype)
 
@@ -70,6 +78,14 @@ def _add_common(p, train=False):
         p.add_argument("--fixed-r", type=float, dest="fixed_r",
                        help="train at a single half-distance R "
                             "(per-R legacy mode)")
+        p.add_argument("--sampler", choices=["uniform", "mixed"],
+                       help="mixed = nucleus-focused importance sampling")
+        p.add_argument("--hidden", type=int,
+                       help="correction-MLP width (default 16)")
+        p.add_argument("--lr-schedule", choices=["none", "step"],
+                       dest="lr_schedule",
+                       help="step = exponential decay (sc_step/sc_decay)")
+        p.add_argument("--resample-frac", type=float, dest="resample_frac")
         p.add_argument("--mesh", type=int, default=0,
                        help="shard the collocation batch over N devices")
 
@@ -142,6 +158,7 @@ def cmd_energy(args) -> None:
     params = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
               for k, v in params.items()}
     surf = aen.surface(params, cfg, n=args.n_test, lcao=not args.no_lcao,
+                       grid=args.grid,
                        progress=lambda i, n, ri: print(
                            f"R={ri:.1f} ({i + 1}/{n})", file=sys.stderr))
     aen.save_surface(args.out, surf)
@@ -258,6 +275,9 @@ def main(argv=None) -> None:
     p.add_argument("--out", default="energy_R_ion.pkl")
     p.add_argument("--n-test", type=int, default=80, dest="n_test")
     p.add_argument("--no-lcao", action="store_true")
+    p.add_argument("--grid", default="uniform",
+                   choices=["uniform", "adapted"],
+                   help="adapted = nucleus-clustered quadrature nodes")
     p.add_argument("--figure", help="also write the surface figure here")
     p.set_defaults(fn=cmd_energy)
 

@@ -52,6 +52,17 @@ class DomainConfig:
     r_hi: float = 4.0        # upper bound (RxR); train.py uses 3.0
     cutoff: float = 0.005    # nuclear-singularity clamp (cutOff)
     fixed_r: Optional[float] = None  # per-R ("legacy multi-model") mode: train at one R
+    # Collocation measure. "uniform" is the reference's sampler (whole +-box
+    # cube — ~99% of which has psi ~ 0). "mixed" draws `focus_frac` of the
+    # points from exponential shells of scale `focus_scale` around the two
+    # nuclei (where the residual actually constrains psi) and the rest
+    # uniform (keeps the boundary-decay sets populated).
+    sampler: str = "uniform"     # "uniform" | "mixed"
+    focus_frac: float = 0.3
+    focus_scale: float = 1.0     # Gamma(3, scale) radius: mean 3*scale bohr
+    # keep focused points OUT of the clamped cusp shell: radii below the
+    # floor make the (clamped) residual blow up and hijack the mean loss
+    focus_floor: float = 0.15
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,6 +63,46 @@ def simpson_weights(n: int, dx: float, scheme: str = "avg") -> np.ndarray:
     raise ValueError(f"unknown even-sample scheme {scheme!r}")
 
 
+def adapted_axis(n: int, box: float, centers, strength: float = 0.45,
+                 sharpness: float = 2.0) -> tuple[np.ndarray, np.ndarray]:
+    """Nucleus-adapted quadrature axis: nodes clustered around ``centers``.
+
+    Uniform Simpson struggles with the cusped integrands of this problem
+    (psi ~ e^{-r}, lap psi ~ 1/r near a nucleus). Substituting
+    x = g(u) = u - A * sum_c tanh(s (u - c)) with A*s*len(centers) < 1/2
+    keeps g monotone while shrinking dx/du near each centre — i.e. locally
+    ~1/(1 - A*s*len(centers)*...) times denser sampling exactly where the
+    cusp lives. Nodes are g(u_k) on a uniform u-grid and weights are the
+    Simpson u-weights times g'(u_k); the integral identity is exact, only
+    the sampling density changes.
+
+    Returns (nodes, weights) with nodes spanning ~[-box, box].
+    """
+    centers = np.atleast_1d(np.asarray(centers, np.float64))
+    a = strength / (sharpness * max(len(centers), 1))
+
+    def g(u):
+        return u - a * sum(np.tanh(sharpness * (u - c)) for c in centers)
+
+    def gp(u):
+        return 1.0 - a * sharpness * sum(
+            1.0 / np.cosh(sharpness * (u - c)) ** 2 for c in centers)
+
+    # choose U so that g(U) == box (g is monotone; bisect)
+    lo, hi = box, box + 2 * a * len(centers) + 1.0
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        if g(mid) < box:
+            lo = mid
+        else:
+            hi = mid
+    big_u = 0.5 * (lo + hi)
+    u = np.linspace(-big_u, big_u, n)
+    du = u[1] - u[0]
+    w_u = simpson_weights(n, du)
+    return g(u), w_u * gp(u)
+
+
 def integrate_1d(f: jnp.ndarray, w) -> jnp.ndarray:
     return jnp.asarray(f) @ jnp.asarray(w, f.dtype)
 

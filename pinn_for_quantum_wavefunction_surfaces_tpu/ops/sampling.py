@@ -38,11 +38,16 @@ class Batch(NamedTuple):
 
 def sample_batch(key: jax.Array, cfg: Config, n: int | None = None,
                  dtype=None) -> Batch:
-    """Draw n uniform collocation points with the singularity clamp applied."""
+    """Draw n collocation points with the singularity clamp applied.
+
+    ``domain.sampler == "mixed"`` replaces part of the uniform cloud with
+    exponential shells centred on the nuclei — the TPU build's importance
+    sampler (the reference only ever samples uniformly, leaving ~99% of
+    points where psi ~ 0)."""
     dom, mcfg = cfg.domain, cfg.model
     n = cfg.train.n_train if n is None else n
     dtype = jnp.dtype(cfg.dtype) if dtype is None else jnp.dtype(dtype)
-    kx, ky, kz, kr = jax.random.split(key, 4)
+    kx, ky, kz, kr, kf = jax.random.split(key, 5)
     b = dom.box
     x = jax.random.uniform(kx, (n,), dtype, -b, b)
     y = jax.random.uniform(ky, (n,), dtype, -b, b)
@@ -51,6 +56,25 @@ def sample_batch(key: jax.Array, cfg: Config, n: int | None = None,
         r = jnp.full((n,), dom.fixed_r, dtype)
     else:
         r = jax.random.uniform(kr, (n,), dtype, dom.r_lo, dom.r_hi)
+    if dom.sampler == "mixed":
+        n_f = int(dom.focus_frac * n)
+        kd, kr_, ks = jax.random.split(kf, 3)
+        # isotropic exponential shell: radius ~ Gamma(3, scale) so the
+        # RADIAL DENSITY matches e^{-r/scale} in 3-D volume measure
+        u = (dom.focus_floor
+             + jax.random.gamma(kr_, 3.0, (n_f,), dtype) * dom.focus_scale)
+        d = jax.random.normal(kd, (n_f, 3), dtype)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        sign = jnp.where(jax.random.bernoulli(ks, 0.5, (n_f,)), 1.0, -1.0)
+        cx = sign * r[:n_f]
+        cy = sign * mcfg.ry
+        cz = sign * mcfg.rz
+        xf = jnp.clip(cx + u * d[:, 0], -b, b)
+        yf = jnp.clip(cy + u * d[:, 1], -b, b)
+        zf = jnp.clip(cz + u * d[:, 2], -b, b)
+        x = jnp.concatenate([xf, x[n_f:]])
+        y = jnp.concatenate([yf, y[n_f:]])
+        z = jnp.concatenate([zf, z[n_f:]])
     # Nuclear-singularity clamp: move x to `cutoff` where either radius is
     # inside the cutoff ball, then recompute radii (poc/main.py:147-149).
     r1, r2 = radial(mcfg, x, y, z, r)

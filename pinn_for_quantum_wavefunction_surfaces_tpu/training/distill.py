@@ -30,8 +30,11 @@ from ..analysis import energy as aen
 
 def rayleigh_targets(params: dict, cfg: Config, r_values=None,
                      n: Optional[int] = None, scheme: str = "avg",
+                     grid: str = "adapted",
                      mesh=None) -> tuple[np.ndarray, np.ndarray]:
-    """E*(R) = <psi|H|psi>/<psi|psi> at each R (quadrature)."""
+    """E*(R) = <psi|H|psi>/<psi|psi> at each R (quadrature). Targets default
+    to the nucleus-adapted grid — an order of magnitude better converged
+    than the uniform reference grid at the same n."""
     dom = cfg.domain
     if r_values is None:
         r_values = np.round(np.arange(dom.r_lo, dom.r_hi + 0.05, 0.05), 3)
@@ -41,6 +44,9 @@ def rayleigh_targets(params: dict, cfg: Config, r_values=None,
         if mesh is not None:
             targets[i] = aen.rayleigh_quotient_sharded(
                 params, cfg, float(ri), mesh, n=n, scheme=scheme)
+        elif grid == "adapted":
+            targets[i] = aen.rayleigh_quotient_adapted(params, cfg, float(ri),
+                                                       n=n)
         else:
             targets[i] = aen.rayleigh_quotient(params, cfg, float(ri), n=n,
                                                scheme=scheme)

@@ -90,7 +90,9 @@ def make_optimizer(cfg: Config, frozen: frozenset = frozenset(),
 
 
 def init_state(key: jax.Array, cfg: Config, optimizer,
-               params: Optional[dict] = None) -> TrainState:
+               params: Optional[dict] = None,
+               opt_state: Optional[optax.OptState] = None,
+               step: int = 0) -> TrainState:
     kp, kb, kc = jax.random.split(key, 3)
     if params is None:
         params = ansatz.init_params(kp, cfg.model, jnp.dtype(cfg.dtype))
@@ -100,9 +102,9 @@ def init_state(key: jax.Array, cfg: Config, optimizer,
     loss_dtype = jnp.promote_types(jnp.dtype(cfg.dtype), jnp.float32)
     big = jnp.asarray(jnp.inf, loss_dtype)
     return TrainState(
-        step=jnp.zeros((), jnp.int32),
+        step=jnp.asarray(step, jnp.int32),
         params=params,
-        opt_state=optimizer.init(params),
+        opt_state=optimizer.init(params) if opt_state is None else opt_state,
         batch=batch,
         best_params=params,
         best_loss=big,
@@ -151,6 +153,8 @@ def make_step(cfg: Config, optimizer, mesh=None, axis: str = "data") -> Callable
 def train(cfg: Config,
           key: Optional[jax.Array] = None,
           params: Optional[dict] = None,
+          opt_state: Optional[optax.OptState] = None,
+          start_step: int = 0,
           frozen: frozenset = frozenset(),
           checkpoint_cb: Optional[Callable[[TrainState, int], None]] = None,
           log_cb: Optional[Callable[[int, dict], None]] = None,
@@ -165,7 +169,7 @@ def train(cfg: Config,
     t = cfg.train
     key = jax.random.PRNGKey(t.seed) if key is None else key
     optimizer = make_optimizer(cfg, frozen)
-    state = init_state(key, cfg, optimizer, params)
+    state = init_state(key, cfg, optimizer, params, opt_state, start_step)
     if mesh is not None:
         from ..parallel.mesh import shard_state
         state = shard_state(state, mesh)
