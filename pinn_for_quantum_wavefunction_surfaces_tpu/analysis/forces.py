@@ -23,7 +23,6 @@ import numpy as np
 from ..config import Config
 from ..models import ansatz
 from ..ops import operators, quadrature
-from .energy import lcao_fwdlap
 
 
 def denergy_dr_autograd(params, r_values, total: bool = False) -> np.ndarray:

@@ -38,15 +38,22 @@ def _build_cfg(args) -> "object":
                              ("lr_schedule",
                               getattr(args, "lr_schedule", None)),
                              ("resample_frac",
-                              getattr(args, "resample_frac", None)))
+                              getattr(args, "resample_frac", None)),
+                             ("sc_step", getattr(args, "sc_step", None)),
+                             ("sc_decay", getattr(args, "sc_decay", None)))
            if v is not None})
     domain = cfg.domain
     if getattr(args, "fixed_r", None) is not None:
         domain = dataclasses.replace(domain, fixed_r=args.fixed_r)
     if getattr(args, "sampler", None):
         domain = dataclasses.replace(domain, sampler=args.sampler)
+    for k in ("focus_frac", "focus_scale", "focus_floor"):
+        if getattr(args, k, None) is not None:
+            domain = dataclasses.replace(domain, **{k: getattr(args, k)})
     if getattr(args, "hidden", None):
         model = dataclasses.replace(model, hidden=args.hidden)
+    if getattr(args, "trainable_exponent", False):
+        model = dataclasses.replace(model, trainable_exponent=True)
     return dataclasses.replace(cfg, model=model, train=train, domain=domain,
                                dtype=args.dtype)
 
@@ -80,8 +87,16 @@ def _add_common(p, train=False):
                             "(per-R legacy mode)")
         p.add_argument("--sampler", choices=["uniform", "mixed"],
                        help="mixed = nucleus-focused importance sampling")
+        p.add_argument("--focus-frac", type=float, dest="focus_frac")
+        p.add_argument("--focus-scale", type=float, dest="focus_scale")
+        p.add_argument("--focus-floor", type=float, dest="focus_floor")
+        p.add_argument("--sc-step", type=int, dest="sc_step")
+        p.add_argument("--sc-decay", type=float, dest="sc_decay")
         p.add_argument("--hidden", type=int,
                        help="correction-MLP width (default 16)")
+        p.add_argument("--trainable-exponent", action="store_true",
+                       dest="trainable_exponent",
+                       help="learn the orbital exponent alpha(R)")
         p.add_argument("--lr-schedule", choices=["none", "step"],
                        dest="lr_schedule",
                        help="step = exponential decay (sc_step/sc_decay)")
@@ -99,12 +114,14 @@ def cmd_train(args) -> None:
     import jax
     from .io import checkpoint
     from .training import engine
+    from .utils.metrics import MetricLogger
     cfg = _build_cfg(args)
     mesh = None
     if args.mesh:
         from .parallel.mesh import make_mesh
         mesh = make_mesh(args.mesh)
     os.makedirs(args.out, exist_ok=True)
+    log = MetricLogger(os.path.join(args.out, "metrics.jsonl"))
 
     def ckpt_cb(state, step):
         checkpoint.save(os.path.join(args.out, "best.npz"),
@@ -114,7 +131,7 @@ def cmd_train(args) -> None:
                               "best_loss": float(state.best_loss)})
 
     params = _load_params(args.resume) if args.resume else None
-    res = engine.train(cfg, params=params, mesh=mesh, log_cb=_log,
+    res = engine.train(cfg, params=params, mesh=mesh, log_cb=log,
                        checkpoint_cb=ckpt_cb)
     checkpoint.save(os.path.join(args.out, "final.npz"),
                     {"params": res.params},

@@ -34,6 +34,13 @@ class ModelConfig:
     ry: float = 0.0          # nuclei offset in y (reference params['Ry'])
     rz: float = 0.0          # nuclei offset in z (reference params['Rz'])
     eout_bias_init: float = -1.0  # reference poc/main.py:240
+    # Trainable orbital exponent alpha(R) on the envelopes e^{-alpha r}
+    # (an extension over the reference's fixed alpha=1: the optimal H2+
+    # exponent runs from ~2 at the united-atom limit to 1 at dissociation,
+    # and the tail decay rate encodes the eigenvalue). alpha(R) = 1 + small
+    # MLP head, initialised to exactly 1 for backward compatibility.
+    trainable_exponent: bool = False
+    hidden_alpha: int = 8
 
     def __post_init__(self):
         if self.arch not in ("symmetric", "minimal"):

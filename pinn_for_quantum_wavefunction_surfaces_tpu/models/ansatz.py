@@ -81,6 +81,13 @@ def init_params(key: jax.Array, mcfg: ModelConfig, dtype=jnp.float32) -> dict:
     }
     if mcfg.arch == "symmetric":
         params["eout"]["b"] = jnp.full((1,), mcfg.eout_bias_init, dtype)
+    if mcfg.trainable_exponent:
+        ha = mcfg.hidden_alpha
+        ka1, ka2 = jax.random.split(keys[0])
+        params["alpha1"] = _init_linear(ka1, 1, ha, dtype)
+        # zero-init output layer -> alpha(R) == 1 exactly at init
+        params["alpha2"] = {"w": jnp.zeros((ha, 1), dtype),
+                            "b": jnp.zeros((1,), dtype)}
     return params
 
 
@@ -110,18 +117,35 @@ def gate(params: dict, r: jax.Array) -> jax.Array:
     return (y @ params["gate2"]["w"] + params["gate2"]["b"])[..., 0]
 
 
-def _envelopes(mcfg: ModelConfig, x, y, z, r, mirror_x=False):
-    """exp(-r1), exp(-r2) for nuclei at (+/-R, +/-ry, +/-rz)
-    (reference poc/main.py:269-284)."""
+def orbital_exponent(params: dict, r: jax.Array) -> jax.Array:
+    """alpha(R) = 1 + small MLP head (1 exactly when the head is absent or
+    zero-initialised). r: (...,)."""
+    if "alpha1" not in params:
+        return jnp.ones_like(r)
+    a = jax.nn.sigmoid(r[..., None] @ params["alpha1"]["w"]
+                       + params["alpha1"]["b"])
+    return 1.0 + (a @ params["alpha2"]["w"] + params["alpha2"]["b"])[..., 0]
+
+
+def _envelopes(mcfg: ModelConfig, x, y, z, r, mirror_x=False, alpha=None):
+    """exp(-alpha r1), exp(-alpha r2) for nuclei at (+/-R, +/-ry, +/-rz)
+    (reference poc/main.py:269-284; alpha extension optional)."""
     xs = -x if mirror_x else x
     r1 = jnp.sqrt((xs - r) ** 2 + (y - mcfg.ry) ** 2 + (z - mcfg.rz) ** 2)
     r2 = jnp.sqrt((xs + r) ** 2 + (y + mcfg.ry) ** 2 + (z + mcfg.rz) ** 2)
-    return jnp.exp(-r1), jnp.exp(-r2)
+    if alpha is None:
+        return jnp.exp(-r1), jnp.exp(-r2)
+    return jnp.exp(-alpha * r1), jnp.exp(-alpha * r2)
 
 
-def lcao(mcfg: ModelConfig, x, y, z, r) -> jax.Array:
-    """Analytic LCAO part: exp(-r1) + P exp(-r2) (reference poc/main.py:286-293)."""
-    f1, f2 = _envelopes(mcfg, x, y, z, r)
+def lcao(mcfg: ModelConfig, x, y, z, r, params: dict | None = None) -> jax.Array:
+    """Analytic LCAO part: exp(-a r1) + P exp(-a r2)
+    (reference poc/main.py:286-293; a=1 unless the trainable exponent head
+    is present in ``params``)."""
+    alpha = None
+    if params is not None and "alpha1" in params:
+        alpha = orbital_exponent(params, r)
+    f1, f2 = _envelopes(mcfg, x, y, z, r, alpha=alpha)
     return f1 + mcfg.inversion_symmetry * f2
 
 
@@ -137,7 +161,8 @@ def psi(params: dict, mcfg: ModelConfig, x, y, z, r):
     x, y, z, r: (...,) arrays (R is the half internuclear distance per point).
     """
     e = energy(params, r)
-    f1, f2 = _envelopes(mcfg, x, y, z, r)
+    alpha = orbital_exponent(params, r) if "alpha1" in params else None
+    f1, f2 = _envelopes(mcfg, x, y, z, r, alpha=alpha)
     g = gate(params, r)
     if mcfg.arch == "minimal":
         # reference train.py:45-53
@@ -146,7 +171,7 @@ def psi(params: dict, mcfg: ModelConfig, x, y, z, r):
         out = f1 + f2 + nn[..., 0] * g
         return out, e
     # symmetric (poc): mirrored weight-shared branch
-    f1m, f2m = _envelopes(mcfg, x, y, z, r, mirror_x=True)
+    f1m, f2m = _envelopes(mcfg, x, y, z, r, mirror_x=True, alpha=alpha)
     b = _base(params, f1, f2) + mcfg.inversion_symmetry * _base(params, f1m, f2m)
     nn = b @ params["out"]["w"] + params["out"]["b"]
     n_lcao = f1 + mcfg.inversion_symmetry * f2
@@ -179,9 +204,10 @@ def psi_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
     e = energy(params, r)
     g_r = gate(params, r)[..., None]  # (..., 1), spatially constant
     p = float(mcfg.inversion_symmetry)
+    alpha = orbital_exponent(params, r) if "alpha1" in params else None
 
-    f1 = fwdlap.orbital_envelope(x, y, z, r, mcfg.ry, mcfg.rz)
-    f2 = fwdlap.orbital_envelope(x, y, z, -r, -mcfg.ry, -mcfg.rz)
+    f1 = fwdlap.orbital_envelope(x, y, z, r, mcfg.ry, mcfg.rz, alpha)
+    f2 = fwdlap.orbital_envelope(x, y, z, -r, -mcfg.ry, -mcfg.rz, alpha)
 
     if mcfg.arch == "minimal":
         s = fwdlap.concat([f1, f2])
@@ -193,8 +219,10 @@ def psi_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
         return out, e
 
     # symmetric: mirrored branch evaluated at -x, gradients re-oriented
-    f1m = _flip_gx(fwdlap.orbital_envelope(-x, y, z, r, mcfg.ry, mcfg.rz))
-    f2m = _flip_gx(fwdlap.orbital_envelope(-x, y, z, -r, -mcfg.ry, -mcfg.rz))
+    f1m = _flip_gx(fwdlap.orbital_envelope(-x, y, z, r, mcfg.ry, mcfg.rz,
+                                           alpha))
+    f2m = _flip_gx(fwdlap.orbital_envelope(-x, y, z, -r, -mcfg.ry, -mcfg.rz,
+                                           alpha))
     b = _base_fwdlap(params, fwdlap.concat([f1, f2]))
     bm = _base_fwdlap(params, fwdlap.concat([f1m, f2m]))
     s = fwdlap.add(b, fwdlap.scale(bm, jnp.asarray(p, b.v.dtype)))

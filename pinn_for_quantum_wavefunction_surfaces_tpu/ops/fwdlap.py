@@ -122,28 +122,36 @@ def concat(parts: list[Spatial], axis: int = -1) -> Spatial:
 
 
 def orbital_envelope(x: jax.Array, y: jax.Array, z: jax.Array,
-                     cx, cy, cz) -> Spatial:
-    """The 1s atomic-orbital envelope f = exp(-r) centred at (cx, cy, cz),
-    seeded with its analytic gradient and laplacian:
+                     cx, cy, cz, alpha=None) -> Spatial:
+    """The 1s atomic-orbital envelope f = exp(-alpha r) centred at
+    (cx, cy, cz), seeded with its analytic gradient and laplacian:
 
         r       = |p - c|
-        grad f  = -f * u             (u = (p - c)/r, the unit vector)
-        lap  f  =  f * (1 - 2/r)     (since lap r = 2/r, |grad r| = 1)
+        grad f  = -alpha f * u            (u = (p - c)/r, the unit vector)
+        lap  f  =  f * (alpha^2 - 2 alpha / r)
 
     Mirrors the reference's ``atomicAct_s(toR(...))`` (poc/main.py:64-78,
-    269-284) but carries derivatives analytically, so the nuclear-cusp
-    singularity appears only through the explicit 1/r (clamped upstream by the
-    sampler's cutoff, reference poc/main.py:148-149).
+    269-284; fixed alpha=1 there) but carries derivatives analytically, so
+    the nuclear-cusp singularity appears only through the explicit 1/r
+    (clamped upstream by the sampler's cutoff, reference poc/main.py:148-149).
+    ``alpha`` may be a per-point array (spatially constant, e.g. alpha(R)).
 
     Inputs are (...,) scalars per point; output feature width is 1.
     """
     dx, dy, dz = x - cx, y - cy, z - cz
     r2 = dx * dx + dy * dy + dz * dz
     r = jnp.sqrt(r2)
-    f = jnp.exp(-r)
     inv_r = 1.0 / r
+    if alpha is None:
+        f = jnp.exp(-r)
+        lap = f * (1.0 - 2.0 * inv_r)
+        grad_scale = -f
+    else:
+        f = jnp.exp(-alpha * r)
+        lap = f * (alpha * alpha - 2.0 * alpha * inv_r)
+        grad_scale = -alpha * f
     v = f[..., None]
     u = jnp.stack([dx, dy, dz], axis=-1) * inv_r[..., None]  # (..., 3)
-    g = (-f[..., None] * u)[..., :, None]                    # (..., 3, 1)
-    l = (f * (1.0 - 2.0 * inv_r))[..., None]
+    g = (grad_scale[..., None] * u)[..., :, None]            # (..., 3, 1)
+    l = lap[..., None]
     return Spatial(v, g, l)

@@ -224,5 +224,9 @@ def train(cfg: Config,
 
 def finetune(cfg: Config, params: dict, **kw) -> TrainResult:
     """Stage-2 schedule: freeze the wavefunction sub-networks and train only
-    the E(R) head (reference poc/main.py:930-942: lr 5e-4, 2000 epochs)."""
-    return train(cfg, params=params, frozen=FINETUNE_FROZEN, **kw)
+    the E(R) head (reference poc/main.py:930-942: lr 5e-4, 2000 epochs).
+    The trainable-exponent head (if present) belongs to the wavefunction and
+    is frozen too."""
+    frozen = FINETUNE_FROZEN | frozenset(
+        k for k in ("alpha1", "alpha2") if k in params)
+    return train(cfg, params=params, frozen=frozen, **kw)

@@ -16,7 +16,7 @@ instead of the reference's sequential python loop.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
 from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy as aen

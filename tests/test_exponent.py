@@ -1,0 +1,71 @@
+"""Trainable orbital exponent alpha(R)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
+from pinn_for_quantum_wavefunction_surfaces_tpu.models import ansatz
+from pinn_for_quantum_wavefunction_surfaces_tpu.ops import operators
+
+
+def _pts(n=24):
+    k = jax.random.split(jax.random.PRNGKey(3), 4)
+    return (jax.random.uniform(k[0], (n,), jnp.float64, -5, 5),
+            jax.random.uniform(k[1], (n,), jnp.float64, -5, 5),
+            jax.random.uniform(k[2], (n,), jnp.float64, -5, 5),
+            jax.random.uniform(k[3], (n,), jnp.float64, 0.3, 3.5))
+
+
+def test_zero_init_is_identity():
+    """With the zero-initialised head, psi equals the alpha-less model."""
+    cfg = pqs.Config(model=pqs.ModelConfig(trainable_exponent=True),
+                     dtype="float64")
+    p = ansatz.init_params(jax.random.PRNGKey(0), cfg.model, jnp.float64)
+    p0 = {k: v for k, v in p.items() if not k.startswith("alpha")}
+    x, y, z, r = _pts()
+    a, _ = ansatz.psi(p, cfg.model, x, y, z, r)
+    b, _ = ansatz.psi(p0, pqs.Config(dtype="float64").model, x, y, z, r)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(ansatz.orbital_exponent(p, r)), 1.0)
+
+
+def test_fwdlap_matches_oracle_with_alpha():
+    cfg = pqs.Config(model=pqs.ModelConfig(trainable_exponent=True),
+                     dtype="float64")
+    p = ansatz.init_params(jax.random.PRNGKey(0), cfg.model, jnp.float64)
+    p["alpha2"]["w"] = jax.random.normal(jax.random.PRNGKey(7), (8, 1),
+                                         jnp.float64) * 0.1
+    p["alpha2"]["b"] = jnp.asarray([0.2])
+    x, y, z, r = _pts()
+    s, _ = ansatz.psi_fwdlap(p, cfg.model, x, y, z, r)
+    pv, _ = ansatz.psi(p, cfg.model, x, y, z, r)
+    np.testing.assert_allclose(np.asarray(s.v[..., 0]), np.asarray(pv),
+                               rtol=1e-14)
+
+    def point(c, ri):
+        return ansatz.psi(p, cfg.model, c[0], c[1], c[2], ri)[0]
+
+    lap = jax.vmap(lambda xx, yy, zz, rr: operators.laplacian_fn(
+        lambda c: point(c, rr))(jnp.stack([xx, yy, zz])))(x, y, z, r)
+    np.testing.assert_allclose(np.asarray(s.l[..., 0]), np.asarray(lap),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_finetune_freezes_alpha():
+    import dataclasses
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import engine
+    cfg = pqs.smoke_config(dtype="float64")
+    cfg = dataclasses.replace(
+        cfg, model=pqs.ModelConfig(trainable_exponent=True))
+    res = engine.train(cfg)
+    cfg2 = pqs.finetune_config(cfg)
+    cfg2 = dataclasses.replace(
+        cfg2, train=dataclasses.replace(cfg2.train, epochs=6, n_train=256,
+                                        scan_chunk=3))
+    res2 = engine.finetune(cfg2, params=res.params)
+    np.testing.assert_array_equal(res.params["alpha1"]["w"],
+                                  res2.params["alpha1"]["w"])
+    np.testing.assert_array_equal(res.params["alpha2"]["w"],
+                                  res2.params["alpha2"]["w"])

@@ -8,7 +8,7 @@ import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
 from pinn_for_quantum_wavefunction_surfaces_tpu.models import ansatz
 from pinn_for_quantum_wavefunction_surfaces_tpu.ops import operators
 from pinn_for_quantum_wavefunction_surfaces_tpu.ops.sampling import (
-    Batch, masked_mean, sample_batch)
+    masked_mean, sample_batch)
 from pinn_for_quantum_wavefunction_surfaces_tpu.training import losses
 
 
