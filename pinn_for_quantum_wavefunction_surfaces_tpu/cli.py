@@ -40,7 +40,8 @@ def _build_cfg(args) -> "object":
                              ("resample_frac",
                               getattr(args, "resample_frac", None)),
                              ("sc_step", getattr(args, "sc_step", None)),
-                             ("sc_decay", getattr(args, "sc_decay", None)))
+                             ("sc_decay", getattr(args, "sc_decay", None)),
+                             ("ema_decay", getattr(args, "ema_decay", None)))
            if v is not None})
     domain = cfg.domain
     if getattr(args, "fixed_r", None) is not None:
@@ -92,6 +93,8 @@ def _add_common(p, train=False):
         p.add_argument("--focus-floor", type=float, dest="focus_floor")
         p.add_argument("--sc-step", type=int, dest="sc_step")
         p.add_argument("--sc-decay", type=float, dest="sc_decay")
+        p.add_argument("--ema-decay", type=float, dest="ema_decay",
+                       help="Polyak averaging decay (e.g. 0.999; 0 = off)")
         p.add_argument("--hidden", type=int,
                        help="correction-MLP width (default 16)")
         p.add_argument("--trainable-exponent", action="store_true",
@@ -140,6 +143,9 @@ def cmd_train(args) -> None:
     checkpoint.save(os.path.join(args.out, "best.npz"),
                     {"params": res.best_params},
                     meta={"best_loss": res.best_loss})
+    if cfg.train.ema_decay > 0:
+        checkpoint.save(os.path.join(args.out, "ema.npz"),
+                        {"params": res.ema_params}, meta={})
     with open(os.path.join(args.out, "history.pkl"), "wb") as f:
         pickle.dump(res.history, f)
     print(json.dumps({"best_loss": res.best_loss,

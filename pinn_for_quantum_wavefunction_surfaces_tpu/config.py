@@ -91,6 +91,9 @@ class TrainConfig:
     lr_schedule: str = "none"    # "none" | "step"
     sc_step: int = 3000
     sc_decay: float = 0.7
+    # Polyak / exponential moving average of params (0 = off). Long f32 runs
+    # random-walk late in training; the EMA iterate is the stable estimator.
+    ema_decay: float = 0.0
     betas: tuple = (0.9, 0.999)
     eps: float = 1e-8
     scan_chunk: int = 250        # steps per jitted lax.scan chunk (host io boundary)

@@ -76,6 +76,7 @@ def shard_state(state, mesh: Mesh, axis: str = "data"):
         batch=jax.tree.map(lambda a: jax.device_put(a, sh), state.batch),
         best_params=put_rep(state.best_params),
         best_loss=put_rep(state.best_loss),
+        ema_params=put_rep(state.ema_params),
         key=put_rep(state.key),
     )
 
@@ -163,14 +164,17 @@ def make_shardmap_step(cfg: Config, optimizer, mesh: Mesh,
             state.params, state.best_params)
         best_loss = jnp.where(improved, l_tot,
                               state.best_loss).astype(state.best_loss.dtype)
+        d = cfg.train.ema_decay
+        ema_params = jax.tree.map(lambda e_, p_: d * e_ + (1.0 - d) * p_,
+                                  state.ema_params, new_params)
         new_state = TrainState(state.step + 1, new_params, opt_state, batch,
-                               best_params, best_loss, key)
+                               best_params, best_loss, ema_params, key)
         return new_state, History(l_tot, l_pde, l_bc, aux.e_last)
 
     state_specs = TrainState(
         step=P(), params=P(), opt_state=P(),
         batch=Batch(*([P(axis)] * 6)),
-        best_params=P(), best_loss=P(), key=P(),
+        best_params=P(), best_loss=P(), ema_params=P(), key=P(),
     )
 
     sharded = shard_map(device_step, mesh=mesh,

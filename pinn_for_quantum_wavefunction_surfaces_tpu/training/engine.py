@@ -48,6 +48,7 @@ class TrainState(NamedTuple):
     batch: Batch
     best_params: dict
     best_loss: jax.Array
+    ema_params: dict
     key: jax.Array
 
 
@@ -67,6 +68,7 @@ class TrainResult:
     history: dict          # {"Ltot", "Lpde", "Lbc", "Energy"} (reference keys)
     runtime_s: float
     points_per_sec: float
+    ema_params: dict = None  # Polyak average (== final params if ema off)
 
 
 def make_optimizer(cfg: Config, frozen: frozenset = frozenset(),
@@ -108,6 +110,7 @@ def init_state(key: jax.Array, cfg: Config, optimizer,
         batch=batch,
         best_params=params,
         best_loss=big,
+        ema_params=params,
         key=kc,
     )
 
@@ -142,9 +145,13 @@ def make_step(cfg: Config, optimizer, mesh=None, axis: str = "data") -> Callable
             lambda new, old: jnp.where(improved, new, old),
             state.params, state.best_params)
         best_loss = jnp.where(improved, l_tot, state.best_loss)
+        d = cfg.train.ema_decay
+        ema_params = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                                  state.ema_params, new_params)
         new_state = TrainState(state.step + 1, new_params, opt_state, batch,
                                best_params,
-                               best_loss.astype(state.best_loss.dtype), key)
+                               best_loss.astype(state.best_loss.dtype),
+                               ema_params, key)
         return new_state, History(l_tot, aux.l_pde, aux.l_bc, aux.e_last)
 
     return step
@@ -219,6 +226,7 @@ def train(cfg: Config,
         history=history,
         runtime_s=runtime,
         points_per_sec=t.epochs * t.n_train / runtime,
+        ema_params=jax.tree.map(np.asarray, state.ema_params),
     )
 
 

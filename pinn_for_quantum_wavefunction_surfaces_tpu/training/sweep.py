@@ -71,7 +71,7 @@ def train_per_r_vmapped(cfg: Config, r_values: Sequence[float],
         big = jnp.asarray(jnp.inf, jnp.promote_types(dtype, jnp.float32))
         return engine.TrainState(jnp.zeros((), jnp.int32), params,
                                  optimizer.init(params), batch, params, big,
-                                 kc)
+                                 params, kc)
 
     states = jax.vmap(init_one)(keys, rs)
 
@@ -99,7 +99,7 @@ def train_per_r_vmapped(cfg: Config, r_values: Sequence[float],
         return engine.TrainState(
             state.step + 1, new_params, opt_state, batch, best,
             jnp.where(improved, l, state.best_loss).astype(
-                state.best_loss.dtype), key), l
+                state.best_loss.dtype), state.ema_params, key), l
 
     def chunk(states, _):
         def scan_model(state, ri):
