@@ -41,7 +41,9 @@ def _build_cfg(args) -> "object":
                               getattr(args, "resample_frac", None)),
                              ("sc_step", getattr(args, "sc_step", None)),
                              ("sc_decay", getattr(args, "sc_decay", None)),
-                             ("ema_decay", getattr(args, "ema_decay", None)))
+                             ("ema_decay", getattr(args, "ema_decay", None)),
+                             ("residual_weight",
+                              getattr(args, "residual_weight", None)))
            if v is not None})
     domain = cfg.domain
     if getattr(args, "fixed_r", None) is not None:
@@ -95,6 +97,9 @@ def _add_common(p, train=False):
         p.add_argument("--sc-decay", type=float, dest="sc_decay")
         p.add_argument("--ema-decay", type=float, dest="ema_decay",
                        help="Polyak averaging decay (e.g. 0.999; 0 = off)")
+        p.add_argument("--residual-weight", choices=["none", "lcao"],
+                       dest="residual_weight",
+                       help="lcao = local-energy-variance weighting")
         p.add_argument("--hidden", type=int,
                        help="correction-MLP width (default 16)")
         p.add_argument("--trainable-exponent", action="store_true",
@@ -259,10 +264,12 @@ def cmd_sweep(args) -> None:
 
 
 def cmd_export(args) -> None:
-    from .io import checkpoint, modelbin
+    from .io import checkpoint, modelbin, torch_pt
     params = _load_params(args.input)
     if args.output.endswith(".bin"):
         modelbin.save_params(args.output, params)
+    elif args.output.endswith(".pt"):
+        torch_pt.save_reference_checkpoint(args.output, params)
     else:
         checkpoint.save(args.output, {"params": params}, meta={})
     print(json.dumps({"written": args.output}))
@@ -331,7 +338,7 @@ def main(argv=None) -> None:
 
     p = sub.add_parser("export", help="convert checkpoint formats")
     p.add_argument("input", help=".npz | .pt | .bin")
-    p.add_argument("output", help=".npz | .bin")
+    p.add_argument("output", help=".npz | .bin | .pt")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("bench", help="throughput microbenchmark")

@@ -94,6 +94,14 @@ class TrainConfig:
     # Polyak / exponential moving average of params (0 = off). Long f32 runs
     # random-walk late in training; the EMA iterate is the stable estimator.
     ema_decay: float = 0.0
+    # Residual weighting. "none" = the reference's plain mean(res^2).
+    # "lcao" = weight each squared residual by the (normalised) LCAO density
+    # psi_lcao^2 plus a uniform floor — the VMC local-energy-variance
+    # principle: the variational energy error is controlled by the
+    # psi-weighted residual norm, which plain uniform weighting under-counts
+    # exactly where the energy integrals live.
+    residual_weight: str = "none"   # "none" | "lcao"
+    residual_weight_floor: float = 0.05
     betas: tuple = (0.9, 0.999)
     eps: float = 1e-8
     scan_chunk: int = 250        # steps per jitted lax.scan chunk (host io boundary)

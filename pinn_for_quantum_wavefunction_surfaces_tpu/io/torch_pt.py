@@ -143,3 +143,17 @@ def load_reference_checkpoint(path: str) -> dict:
     """Load a reference ``.pt`` checkpoint into this framework's param tree."""
     ck = load(path)
     return state_dict_to_params(ck["model_state_dict"])
+
+
+def save_reference_checkpoint(path: str, params: dict) -> None:
+    """Write a ``.pt`` checkpoint the reference's ``loadModel`` can read
+    (``{"model_state_dict": ...}``, reference poc/main.py:325-339).
+
+    Requires torch (available CPU-only in this image); gated import so the
+    rest of the io layer stays torch-free."""
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(".pt export needs torch installed") from e
+    sd = {k: torch.tensor(v) for k, v in params_to_state_dict(params).items()}
+    torch.save({"model_state_dict": sd, "optimizer_state_dict": {}}, path)

@@ -40,7 +40,17 @@ def loss_fn(params: dict, cfg: Config, batch: Batch,
     res = operators.RESIDUALS[cfg.convention](
         cfg.model, batch.x, batch.y, batch.z, batch.r, s.v[..., 0],
         s.l[..., 0], e)
-    l_pde = jnp.mean(res ** 2)
+    if cfg.train.residual_weight == "lcao":
+        # local-energy-variance weighting: |(H-E)psi|^2 weighted by the
+        # LCAO density (param-free surrogate for psi^2), floored so the far
+        # field keeps anchoring the eigenvalue through the tail decay
+        w = ansatz.lcao(cfg.model, batch.x, batch.y, batch.z, batch.r) ** 2
+        w = w / (jnp.mean(w) + 1e-30)
+        floor = cfg.train.residual_weight_floor
+        weight = (w + floor) / (1.0 + floor)
+        l_pde = jnp.mean(res ** 2 * weight)
+    else:
+        l_pde = jnp.mean(res ** 2)
     psi2 = s.v[..., 0] ** 2
     l_bc = masked_mean(psi2, batch.bc1) + masked_mean(psi2, batch.bc2)
     l_tot = lam_pde * l_pde + lam_bc * l_bc
