@@ -43,7 +43,9 @@ def _build_cfg(args) -> "object":
                              ("sc_decay", getattr(args, "sc_decay", None)),
                              ("ema_decay", getattr(args, "ema_decay", None)),
                              ("residual_weight",
-                              getattr(args, "residual_weight", None)))
+                              getattr(args, "residual_weight", None)),
+                             ("scale_invariant",
+                              getattr(args, "scale_invariant", None) or None))
            if v is not None})
     domain = cfg.domain
     if getattr(args, "fixed_r", None) is not None:
@@ -100,6 +102,10 @@ def _add_common(p, train=False):
         p.add_argument("--residual-weight", choices=["none", "lcao"],
                        dest="residual_weight",
                        help="lcao = local-energy-variance weighting")
+        p.add_argument("--scale-invariant", action="store_true",
+                       dest="scale_invariant",
+                       help="normalise the loss by mean(psi^2) — removes "
+                            "the amplitude-collapse mode in long runs")
         p.add_argument("--hidden", type=int,
                        help="correction-MLP width (default 16)")
         p.add_argument("--trainable-exponent", action="store_true",

@@ -102,6 +102,14 @@ class TrainConfig:
     # exactly where the energy integrals live.
     residual_weight: str = "none"   # "none" | "lcao"
     residual_weight_floor: float = 0.05
+    # Scale-invariant loss: divide L_pde and L_bc by mean(psi^2). The plain
+    # loss has a trivial-collapse mode — res^2 scales with psi^2, so the
+    # gated correction cancelling the LCAO amplitude lowers the loss without
+    # improving physics (the reference knew: its disabled anti-trivial term,
+    # poc/main.py:353-354). Normalising removes the incentive exactly;
+    # verified to be what degrades long runs (psi norm shrank 10-40x in a
+    # 50k-epoch run before this).
+    scale_invariant: bool = False
     betas: tuple = (0.9, 0.999)
     eps: float = 1e-8
     scan_chunk: int = 250        # steps per jitted lax.scan chunk (host io boundary)

@@ -119,10 +119,11 @@ def make_shardmap_step(cfg: Config, optimizer, mesh: Mesh,
     from ..training.engine import TrainState, History
 
     n_dev = mesh.shape[axis]
-    if cfg.train.residual_weight != "none":
+    if cfg.train.residual_weight != "none" or cfg.train.scale_invariant:
         raise NotImplementedError(
-            "residual weighting needs a global weight normalisation; use the "
-            "GSPMD path (engine.make_step with mesh=...) which handles it")
+            "residual weighting / scale-invariant losses need global "
+            "normalisers; use the GSPMD path (engine.make_step with mesh=...) "
+            "which handles them")
     if cfg.train.n_train % n_dev:
         raise ValueError(f"n_train={cfg.train.n_train} not divisible by "
                          f"{n_dev} devices")

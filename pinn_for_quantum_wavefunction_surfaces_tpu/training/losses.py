@@ -53,6 +53,12 @@ def loss_fn(params: dict, cfg: Config, batch: Batch,
         l_pde = jnp.mean(res ** 2)
     psi2 = s.v[..., 0] ** 2
     l_bc = masked_mean(psi2, batch.bc1) + masked_mean(psi2, batch.bc2)
+    if cfg.train.scale_invariant:
+        # remove the amplitude-collapse mode: both terms become invariant
+        # under psi -> c * psi (differentiable through the normaliser)
+        norm = jnp.mean(psi2) + 1e-30
+        l_pde = l_pde / norm
+        l_bc = l_bc / norm
     l_tot = lam_pde * l_pde + lam_bc * l_bc
     return l_tot, LossAux(l_pde, l_bc, e[-1], jnp.mean(e))
 
