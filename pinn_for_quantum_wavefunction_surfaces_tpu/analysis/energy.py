@@ -102,7 +102,7 @@ def _slab_fn(params, cfg: Config, ri, which: str, yf, zf, wyz):
 
 def rayleigh_quotient_sharded(params, cfg: Config, ri: float, mesh,
                               n: Optional[int] = None, scheme: str = "avg",
-                              which: str = "model",
+                              which: str = "model", grid: str = "uniform",
                               axis: str = "data") -> float:
     """Mesh-sharded Rayleigh quotient: the grid's x-axis is split across
     devices (shard_map), each device streams its slab subset, and the
@@ -119,14 +119,19 @@ def rayleigh_quotient_sharded(params, cfg: Config, ri: float, mesh,
     n_dev = mesh.shape[axis]
     n_pad = -(-n // n_dev) * n_dev
 
-    ax_np = np.linspace(-dom.box, dom.box, n)
-    dx = 2.0 * dom.box / (n - 1)
-    w_np = quadrature.simpson_weights(n, dx, scheme)
+    if grid == "adapted":
+        ax_np, w_np = quadrature.adapted_axis(n, dom.box, (-ri, ri))
+        ax_yz, w_yz = quadrature.adapted_axis(n, dom.box, (0.0,))
+    else:
+        ax_np = np.linspace(-dom.box, dom.box, n)
+        dx = 2.0 * dom.box / (n - 1)
+        w_np = quadrature.simpson_weights(n, dx, scheme)
+        ax_yz, w_yz = ax_np, w_np
     ax_p = jnp.asarray(np.pad(ax_np, (0, n_pad - n), mode="edge"), dtype)
     w_p = jnp.asarray(np.pad(w_np, (0, n_pad - n)), dtype)  # zero-weight pad
 
-    ax1 = jnp.linspace(-dom.box, dom.box, n, dtype=dtype)
-    w1 = jnp.asarray(w_np, dtype)
+    ax1 = jnp.asarray(ax_yz, dtype)
+    w1 = jnp.asarray(w_yz, dtype)
     yg, zg = jnp.meshgrid(ax1, ax1, indexing="ij")
     yf, zf = yg.ravel(), zg.ravel()
     wyz = (w1[:, None] * w1[None, :]).ravel()
