@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ModelConfig
 from ..ops import fwdlap
@@ -83,11 +84,11 @@ def init_params(key: jax.Array, mcfg: ModelConfig, dtype=jnp.float32) -> dict:
         params["eout"]["b"] = jnp.full((1,), mcfg.eout_bias_init, dtype)
     if mcfg.trainable_exponent:
         ha = mcfg.hidden_alpha
-        ka1, ka2 = jax.random.split(keys[0])
+        ka1, _ = jax.random.split(keys[0])
         params["alpha1"] = _init_linear(ka1, 1, ha, dtype)
-        # zero-init output layer -> alpha(R) == 1 exactly at init
+        # zero weights + the tanh-inverting bias -> alpha(R) == 1 at init
         params["alpha2"] = {"w": jnp.zeros((ha, 1), dtype),
-                            "b": jnp.zeros((1,), dtype)}
+                            "b": jnp.full((1,), ALPHA_BIAS_INIT, dtype)}
     return params
 
 
@@ -117,14 +118,25 @@ def gate(params: dict, r: jax.Array) -> jax.Array:
     return (y @ params["gate2"]["w"] + params["gate2"]["b"])[..., 0]
 
 
+# alpha(R) is bounded to (0.75, 2.25) — the physical H2+ range is [1, 2]
+# (separated atoms -> united atom). An unbounded head has a trivial mode
+# under normalised losses: alpha -> 0 inflates the wavefunction's extent and
+# the loss normaliser with it (observed: alpha collapsed to ~0.2 in a
+# 50k-epoch scale-invariant run before this bound).
+_ALPHA_MID, _ALPHA_HALF = 1.5, 0.75
+# head output h0 with zero weights such that alpha(R) == 1 exactly at init
+ALPHA_BIAS_INIT = float(np.arctanh((1.0 - _ALPHA_MID) / _ALPHA_HALF))
+
+
 def orbital_exponent(params: dict, r: jax.Array) -> jax.Array:
-    """alpha(R) = 1 + small MLP head (1 exactly when the head is absent or
-    zero-initialised). r: (...,)."""
+    """alpha(R) = 1.5 + 0.75 tanh(head(R)); exactly 1 when the head is
+    absent or at its init. r: (...,)."""
     if "alpha1" not in params:
         return jnp.ones_like(r)
     a = jax.nn.sigmoid(r[..., None] @ params["alpha1"]["w"]
                        + params["alpha1"]["b"])
-    return 1.0 + (a @ params["alpha2"]["w"] + params["alpha2"]["b"])[..., 0]
+    h = (a @ params["alpha2"]["w"] + params["alpha2"]["b"])[..., 0]
+    return _ALPHA_MID + _ALPHA_HALF * jnp.tanh(h)
 
 
 def _envelopes(mcfg: ModelConfig, x, y, z, r, mirror_x=False, alpha=None):
