@@ -45,7 +45,9 @@ def _build_cfg(args) -> "object":
                              ("residual_weight",
                               getattr(args, "residual_weight", None)),
                              ("scale_invariant",
-                              getattr(args, "scale_invariant", None) or None))
+                              getattr(args, "scale_invariant", None) or None),
+                             ("correction_reg",
+                              getattr(args, "correction_reg", None)))
            if v is not None})
     domain = cfg.domain
     if getattr(args, "fixed_r", None) is not None:
@@ -106,6 +108,10 @@ def _add_common(p, train=False):
                        dest="scale_invariant",
                        help="normalise the loss by mean(psi^2) — removes "
                             "the amplitude-collapse mode in long runs")
+        p.add_argument("--correction-reg", type=float,
+                       dest="correction_reg",
+                       help="penalty keeping the neural correction small "
+                            "relative to LCAO (e.g. 1e-3)")
         p.add_argument("--hidden", type=int,
                        help="correction-MLP width (default 16)")
         p.add_argument("--trainable-exponent", action="store_true",

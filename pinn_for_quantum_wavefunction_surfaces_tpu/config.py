@@ -110,6 +110,12 @@ class TrainConfig:
     # verified to be what degrades long runs (psi norm shrank 10-40x in a
     # 50k-epoch run before this).
     scale_invariant: bool = False
+    # Correction-size regulariser: lambda * mean((psi - LCAO)^2)/mean(LCAO^2)
+    # keeps the gated neural correction SMALL relative to the physics prior —
+    # the ansatz's own design intent. Blocks the cancellation-collapse mode
+    # (gate*NN eating the LCAO amplitude on long runs) without touching the
+    # loss's scale structure or eigenstate anchoring. 0 = off.
+    correction_reg: float = 0.0
     betas: tuple = (0.9, 0.999)
     eps: float = 1e-8
     scan_chunk: int = 250        # steps per jitted lax.scan chunk (host io boundary)

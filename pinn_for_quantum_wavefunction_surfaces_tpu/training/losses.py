@@ -60,6 +60,12 @@ def loss_fn(params: dict, cfg: Config, batch: Batch,
         l_pde = l_pde / norm
         l_bc = l_bc / norm
     l_tot = lam_pde * l_pde + lam_bc * l_bc
+    if cfg.train.correction_reg > 0.0:
+        lc = ansatz.lcao(cfg.model, batch.x, batch.y, batch.z, batch.r,
+                         params)
+        corr = s.v[..., 0] - lc
+        l_tot = l_tot + cfg.train.correction_reg * (
+            jnp.mean(corr ** 2) / (jnp.mean(lc ** 2) + 1e-30))
     return l_tot, LossAux(l_pde, l_bc, e[-1], jnp.mean(e))
 
 
