@@ -254,6 +254,41 @@ def cmd_distill(args) -> None:
                       "fit_rms_mHa": round(1e3 * info["fit_rms"], 4)}))
 
 
+def cmd_evaluate(args) -> None:
+    """Score a checkpoint: distill the E head onto the Rayleigh quotient of
+    psi, extract the E(R) surface on the adapted grid, report errors vs the
+    exact Wind (1965) energies."""
+    from .analysis import energy as aen
+    from .io import checkpoint
+    from .training import distill
+    cfg = _build_cfg(args)
+    params = _load_params(args.checkpoint)
+    params = {k: {kk: np.asarray(vv, cfg.dtype) for kk, vv in v.items()}
+              for k, v in params.items()}
+    new_params, info = distill.distill(params, cfg, n=args.n_test,
+                                       steps=args.steps)
+    out_dir = args.out or os.path.dirname(os.path.abspath(args.checkpoint))
+    os.makedirs(out_dir, exist_ok=True)
+    checkpoint.save(os.path.join(out_dir, "evaluated.npz"),
+                    {"params": new_params},
+                    meta={"fit_rms": info["fit_rms"]})
+    surf = aen.surface(new_params, cfg, n=args.n_test, lcao=False,
+                       grid="adapted")
+    aen.save_surface(os.path.join(out_dir, "energy_eval.pkl"), surf)
+    exact = aen.exact_energy(surf["R"])
+    err = 1e3 * np.abs(surf["E_net"] - exact)
+    sel = surf["R"] >= 0.5
+    print(json.dumps({
+        "checkpoint": args.checkpoint,
+        "fit_rms_mHa": round(1e3 * info["fit_rms"], 3),
+        "mean_err_mHa": round(float(err.mean()), 3),
+        "max_err_mHa": round(float(err.max()), 3),
+        "mean_err_mHa_R>=0.5": round(float(err[sel].mean()), 3),
+        "max_err_mHa_R>=0.5": round(float(err[sel].max()), 3),
+        "err_R=0.2": round(float(err[0]), 3),
+    }))
+
+
 def cmd_sweep(args) -> None:
     """Per-R multi-model family (legacy mode): vmapped across the sweep."""
     from .training import sweep
@@ -340,6 +375,15 @@ def main(argv=None) -> None:
     p.add_argument("--n-test", type=int, default=80, dest="n_test")
     p.add_argument("--steps", type=int, default=5000)
     p.set_defaults(fn=cmd_distill)
+
+    p = sub.add_parser("evaluate",
+                       help="distill + adapted-grid surface + error report")
+    _add_common(p)
+    p.add_argument("checkpoint")
+    p.add_argument("--out")
+    p.add_argument("--n-test", type=int, default=80, dest="n_test")
+    p.add_argument("--steps", type=int, default=4000)
+    p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("sweep", help="per-R multi-model family (legacy mode)")
     _add_common(p, train=True)
