@@ -254,6 +254,30 @@ def cmd_distill(args) -> None:
                       "fit_rms_mHa": round(1e3 * info["fit_rms"], 4)}))
 
 
+def cmd_variational(args) -> None:
+    """Variational (Rayleigh-quotient) refinement of a checkpoint."""
+    from .io import checkpoint
+    from .training import variational
+    cfg = _build_cfg(args)
+    params = None
+    if args.checkpoint:
+        params = _load_params(args.checkpoint)
+        params = {k: {kk: np.asarray(vv, cfg.dtype) for kk, vv in v.items()}
+                  for k, v in params.items()}
+    os.makedirs(args.out, exist_ok=True)
+    res = variational.train_variational(
+        cfg, params=params, n_r=args.n_r, n_pts=args.n_pts,
+        epochs=args.epochs or cfg.train.epochs, lr=args.lr,
+        log_cb=_log)
+    checkpoint.save(os.path.join(args.out, "variational.npz"),
+                    {"params": res.ema_params}, meta={})
+    checkpoint.save(os.path.join(args.out, "variational_raw.npz"),
+                    {"params": res.params}, meta={})
+    print(json.dumps({"E_mean_final": float(res.history["Energy"][-1]),
+                      "runtime_s": round(res.runtime_s, 2),
+                      "points_per_sec": round(res.points_per_sec, 1)}))
+
+
 def cmd_evaluate(args) -> None:
     """Score a checkpoint: distill the E head onto the Rayleigh quotient of
     psi, extract the E(R) surface on the adapted grid, report errors vs the
@@ -375,6 +399,16 @@ def main(argv=None) -> None:
     p.add_argument("--n-test", type=int, default=80, dest="n_test")
     p.add_argument("--steps", type=int, default=5000)
     p.set_defaults(fn=cmd_distill)
+
+    p = sub.add_parser("variational",
+                       help="Rayleigh-quotient (variational) refinement")
+    _add_common(p, train=True)
+    p.add_argument("checkpoint", nargs="?",
+                   help="warm-start checkpoint (recommended)")
+    p.add_argument("--out", default="runs/variational")
+    p.add_argument("--n-r", type=int, default=32, dest="n_r")
+    p.add_argument("--n-pts", type=int, default=32768, dest="n_pts")
+    p.set_defaults(fn=cmd_variational)
 
     p = sub.add_parser("evaluate",
                        help="distill + adapted-grid surface + error report")

@@ -105,6 +105,64 @@ def sample_batch_at_r(key: jax.Array, cfg: Config, r_value,
     return Batch(x, y, z, r, r1 >= dom.bc_cutoff, r2 >= dom.bc_cutoff)
 
 
+def sample_importance(key: jax.Array, cfg: Config, r_value,
+                      n: int, dtype=None):
+    """Importance sample for Rayleigh-quotient (variational) estimation at a
+    single half-distance R: a mixture of a uniform-in-box component and
+    exponential shells around the two nuclei, WITH the exact mixture density
+    so integrals are reweighted consistently (unlike the training sampler,
+    whose measure is implicit).
+
+    Returns (x, y, z, w) with w = 1/q(p): unnormalised quadrature weights
+    such that sum(w * f) / n estimates the integral of f over R^3.
+
+    Radial proposal per shell: u = floor + Gamma(3, scale); its 3-D density
+    is pdf_u(u) / (4 pi u^2). Mixture: q = (1-ff) 1[box]/V + ff * mean of the
+    two shells. Shell samples may land outside the box (the quotient is an
+    R^3 integral; psi decays there anyway).
+    """
+    dom, mcfg = cfg.domain, cfg.model
+    dtype = jnp.dtype(cfg.dtype) if dtype is None else jnp.dtype(dtype)
+    ff = dom.focus_frac
+    scale = dom.focus_scale
+    floor = dom.focus_floor
+    n_f = int(ff * n)
+    kx, ky, kz, kd, kr_, ks = jax.random.split(key, 6)
+    b = dom.box
+    vol = (2.0 * b) ** 3
+    r = jnp.broadcast_to(jnp.asarray(r_value, dtype), (n,))
+
+    # uniform component
+    x = jax.random.uniform(kx, (n,), dtype, -b, b)
+    y = jax.random.uniform(ky, (n,), dtype, -b, b)
+    z = jax.random.uniform(kz, (n,), dtype, -b, b)
+    # shell component overwrites the first n_f points
+    u = floor + jax.random.gamma(kr_, 3.0, (n_f,), dtype) * scale
+    d = jax.random.normal(kd, (n_f, 3), dtype)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    sign = jnp.where(jax.random.bernoulli(ks, 0.5, (n_f,)), 1.0, -1.0)
+    x = x.at[:n_f].set(sign * r[:n_f] + u * d[:, 0])
+    y = y.at[:n_f].set(sign * mcfg.ry + u * d[:, 1])
+    z = z.at[:n_f].set(sign * mcfg.rz + u * d[:, 2])
+
+    # exact mixture density at every point
+    r1, r2 = radial(mcfg, x, y, z, r)
+
+    def shell_density(rr):
+        uu = rr - floor
+        pdf_u = jnp.where(uu > 0,
+                          uu ** 2 * jnp.exp(-uu / scale) / (2.0 * scale ** 3),
+                          0.0)
+        return pdf_u / (4.0 * jnp.pi * rr ** 2)
+
+    in_box = ((jnp.abs(x) <= b) & (jnp.abs(y) <= b)
+              & (jnp.abs(z) <= b)).astype(dtype)
+    q = ((1.0 - ff) * in_box / vol
+         + ff * 0.5 * (shell_density(r1) + shell_density(r2)))
+    w = 1.0 / q
+    return x, y, z, w
+
+
 def linear_axes(cfg: Config, n: int | None = None, dtype=jnp.float64):
     """1-D linearly spaced axes for test/quadrature grids
     (reference ``sampling(..., linearSampling=True)``, poc/main.py:133-140).
