@@ -106,7 +106,7 @@ def sample_batch_at_r(key: jax.Array, cfg: Config, r_value,
 
 
 def sample_importance(key: jax.Array, cfg: Config, r_value,
-                      n: int, dtype=None):
+                      n: int, dtype=None, scale=None):
     """Importance sample for Rayleigh-quotient (variational) estimation at a
     single half-distance R: a mixture of a uniform-in-box component and
     exponential shells around the two nuclei, WITH the exact mixture density
@@ -124,8 +124,17 @@ def sample_importance(key: jax.Array, cfg: Config, r_value,
     dom, mcfg = cfg.domain, cfg.model
     dtype = jnp.dtype(cfg.dtype) if dtype is None else jnp.dtype(dtype)
     ff = dom.focus_frac
-    scale = dom.focus_scale
-    floor = dom.focus_floor
+    if scale is None:
+        # orbital size shrinks toward the united atom (alpha -> ~2); match
+        # the proposal to the expected 1/alpha(R) so small-R estimates don't
+        # blow up in variance
+        scale = dom.focus_scale / (1.0 + 0.8 * jnp.exp(
+            -2.0 * jnp.asarray(r_value, dtype)))
+    # No radius floor here (unlike the residual-training sampler): the
+    # Gamma(3) shell has a FINITE 3-D density everywhere — a floor would
+    # punch a density hole at the nucleus exactly where psi^2 peaks, making
+    # the 1/q weights blow up.
+    floor = 0.0
     n_f = int(ff * n)
     kx, ky, kz, kd, kr_, ks = jax.random.split(key, 6)
     b = dom.box
