@@ -45,8 +45,10 @@ def rayleigh_targets(params: dict, cfg: Config, r_values=None,
             targets[i] = aen.rayleigh_quotient_sharded(
                 params, cfg, float(ri), mesh, n=n, scheme=scheme)
         elif grid == "adapted":
+            n_eff = (n or cfg.train.n_test)
+            n_eff = n_eff * 2 if ri < 0.6 else n_eff
             targets[i] = aen.rayleigh_quotient_adapted(params, cfg, float(ri),
-                                                       n=n)
+                                                       n=n_eff)
         else:
             targets[i] = aen.rayleigh_quotient(params, cfg, float(ri), n=n,
                                                scheme=scheme)
