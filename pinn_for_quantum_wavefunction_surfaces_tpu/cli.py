@@ -265,6 +265,14 @@ def cmd_variational(args) -> None:
         params = {k: {kk: np.asarray(vv, cfg.dtype) for kk, vv in v.items()}
                   for k, v in params.items()}
     os.makedirs(args.out, exist_ok=True)
+    if args.lbfgs:
+        polished = variational.polish_lbfgs(
+            params, cfg, n_r=args.n_r, n_pts=args.n_pts, steps=args.lbfgs,
+            log_cb=_log)
+        checkpoint.save(os.path.join(args.out, "variational.npz"),
+                        {"params": polished}, meta={"polish": "lbfgs"})
+        print(json.dumps({"out": args.out, "lbfgs_steps": args.lbfgs}))
+        return
     res = variational.train_variational(
         cfg, params=params, n_r=args.n_r, n_pts=args.n_pts,
         epochs=args.epochs or cfg.train.epochs, lr=args.lr,
@@ -408,6 +416,8 @@ def main(argv=None) -> None:
     p.add_argument("--out", default="runs/variational")
     p.add_argument("--n-r", type=int, default=32, dest="n_r")
     p.add_argument("--n-pts", type=int, default=32768, dest="n_pts")
+    p.add_argument("--lbfgs", type=int, default=0,
+                   help="run N full-batch L-BFGS polish steps instead of Adam")
     p.set_defaults(fn=cmd_variational)
 
     p = sub.add_parser("evaluate",

@@ -45,6 +45,19 @@ def test_quotient_matches_quadrature():
     np.testing.assert_allclose(np.asarray(aux["e_r"]), quad, rtol=5e-3)
 
 
+def test_lbfgs_polish_runs_and_descends():
+    cfg = pqs.smoke_config(dtype="float64")
+    cfg = dataclasses.replace(
+        cfg, domain=dataclasses.replace(cfg.domain, fixed_r=2.0))
+    params = ansatz.init_params(jax.random.PRNGKey(0), cfg.model, jnp.float64)
+    vals = []
+    out = variational.polish_lbfgs(
+        params, cfg, n_r=2, n_pts=2048, steps=30,
+        log_cb=lambda s, m: vals.append(m["E_obj"]))
+    assert np.isfinite(jax.tree.leaves(out)[0]).all()
+    assert vals[-1] <= vals[0]
+
+
 def test_variational_training_lowers_energy():
     cfg = pqs.smoke_config(dtype="float64")
     cfg = dataclasses.replace(
