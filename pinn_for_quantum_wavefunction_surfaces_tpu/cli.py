@@ -61,6 +61,8 @@ def _build_cfg(args) -> "object":
         model = dataclasses.replace(model, hidden=args.hidden)
     if getattr(args, "trainable_exponent", False):
         model = dataclasses.replace(model, trainable_exponent=True)
+    if getattr(args, "r_input", False):
+        model = dataclasses.replace(model, r_input=True)
     return dataclasses.replace(cfg, model=model, train=train, domain=domain,
                                dtype=args.dtype)
 
@@ -117,6 +119,9 @@ def _add_common(p, train=False):
         p.add_argument("--trainable-exponent", action="store_true",
                        dest="trainable_exponent",
                        help="learn the orbital exponent alpha(R)")
+        p.add_argument("--r-input", action="store_true", dest="r_input",
+                       help="feed R into the correction MLP (lifts the "
+                            "rank-1-in-R restriction of the reference ansatz)")
         p.add_argument("--lr-schedule", choices=["none", "step"],
                        dest="lr_schedule",
                        help="step = exponential decay (sc_step/sc_decay)")

@@ -41,6 +41,12 @@ class ModelConfig:
     # MLP head, initialised to exactly 1 for backward compatibility.
     trainable_exponent: bool = False
     hidden_alpha: int = 8
+    # Feed R into the correction MLP (input (f1, f2, R/4) instead of
+    # (f1, f2)). The reference's correction is gate(R) * B(f1, f2) — rank-1
+    # in R: two points with equal (r1, r2) at different bond lengths get the
+    # SAME correction shape. Variational-optimum experiments show this is the
+    # binding constraint (~14 mHa bonding-band error at width 16 AND 32).
+    r_input: bool = False
 
     def __post_init__(self):
         if self.arch not in ("symmetric", "minimal"):

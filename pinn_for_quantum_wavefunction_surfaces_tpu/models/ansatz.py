@@ -70,8 +70,9 @@ def init_params(key: jax.Array, mcfg: ModelConfig, dtype=jnp.float32) -> dict:
                                 bias_bound=1.0 / (d_out ** 0.5))
     else:
         lin = lambda k, d_in, d_out: _init_linear(k, d_in, d_out, dtype)
+    n_in = 3 if mcfg.r_input else 2
     params = {
-        "h1": lin(keys[0], 2, h),
+        "h1": lin(keys[0], n_in, h),
         "h2": lin(keys[1], h, h),
         "out": lin(keys[2], h, 1),
         "e1": lin(keys[3], 1, he),
@@ -161,9 +162,12 @@ def lcao(mcfg: ModelConfig, x, y, z, r, params: dict | None = None) -> jax.Array
     return f1 + mcfg.inversion_symmetry * f2
 
 
-def _base(params, f1, f2):
-    """The correction MLP body on stacked envelopes (reference poc/main.py:295-303)."""
-    h = jnp.stack([f1, f2], axis=-1)
+def _base(params, f1, f2, r_feat=None):
+    """The correction MLP body on stacked envelopes (reference
+    poc/main.py:295-303), optionally with the scaled R feature appended
+    (ModelConfig.r_input)."""
+    feats = [f1, f2] + ([r_feat] if r_feat is not None else [])
+    h = jnp.stack(feats, axis=-1)
     return _mlp2(h, params["h1"], params["h2"])
 
 
@@ -176,15 +180,17 @@ def psi(params: dict, mcfg: ModelConfig, x, y, z, r):
     alpha = orbital_exponent(params, r) if "alpha1" in params else None
     f1, f2 = _envelopes(mcfg, x, y, z, r, alpha=alpha)
     g = gate(params, r)
+    r_feat = (0.25 * r) if mcfg.r_input else None
     if mcfg.arch == "minimal":
         # reference train.py:45-53
-        h = _base(params, f1, f2)
+        h = _base(params, f1, f2, r_feat)
         nn = (2.0 * h) @ params["out"]["w"] + params["out"]["b"]
         out = f1 + f2 + nn[..., 0] * g
         return out, e
     # symmetric (poc): mirrored weight-shared branch
     f1m, f2m = _envelopes(mcfg, x, y, z, r, mirror_x=True, alpha=alpha)
-    b = _base(params, f1, f2) + mcfg.inversion_symmetry * _base(params, f1m, f2m)
+    b = (_base(params, f1, f2, r_feat)
+         + mcfg.inversion_symmetry * _base(params, f1m, f2m, r_feat))
     nn = b @ params["out"]["w"] + params["out"]["b"]
     n_lcao = f1 + mcfg.inversion_symmetry * f2
     return nn[..., 0] * g + n_lcao, e
@@ -220,9 +226,10 @@ def psi_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
 
     f1 = fwdlap.orbital_envelope(x, y, z, r, mcfg.ry, mcfg.rz, alpha)
     f2 = fwdlap.orbital_envelope(x, y, z, -r, -mcfg.ry, -mcfg.rz, alpha)
+    extra = ([fwdlap.const((0.25 * r)[..., None])] if mcfg.r_input else [])
 
     if mcfg.arch == "minimal":
-        s = fwdlap.concat([f1, f2])
+        s = fwdlap.concat([f1, f2] + extra)
         s = _base_fwdlap(params, s)
         s = fwdlap.scale(s, jnp.asarray(2.0, s.v.dtype))
         s = fwdlap.linear(s, params["out"]["w"], params["out"]["b"])
@@ -235,8 +242,8 @@ def psi_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
                                            alpha))
     f2m = _flip_gx(fwdlap.orbital_envelope(-x, y, z, -r, -mcfg.ry, -mcfg.rz,
                                            alpha))
-    b = _base_fwdlap(params, fwdlap.concat([f1, f2]))
-    bm = _base_fwdlap(params, fwdlap.concat([f1m, f2m]))
+    b = _base_fwdlap(params, fwdlap.concat([f1, f2] + extra))
+    bm = _base_fwdlap(params, fwdlap.concat([f1m, f2m] + extra))
     s = fwdlap.add(b, fwdlap.scale(bm, jnp.asarray(p, b.v.dtype)))
     s = fwdlap.linear(s, params["out"]["w"], params["out"]["b"])
     s = fwdlap.scale(s, g_r)
