@@ -193,9 +193,10 @@ def surface(params, cfg: Config, r_values=None, n: int = 80,
     def quotient(ri, which):
         if grid == "adapted":
             # the united-atom orbital tightens like 1/alpha(R) at small R —
-            # double the axis resolution below R=0.6 (verified: n=80 leaves
-            # ~15 mHa of pure quadrature error at R=0.2, n=200 is <1 mHa)
-            n_eff = n * 2 if ri < 0.6 else n
+            # raise the axis resolution there (verified: n=80 leaves ~15 mHa
+            # of pure quadrature error at R=0.2 and ~1.4 mHa at R=1.0;
+            # doubling brings both under ~1 mHa)
+            n_eff = n * 2 if ri < 1.6 else n
             return rayleigh_quotient_adapted(params, cfg, float(ri), n=n_eff,
                                              which=which)
         num, den = _rayleigh(params, cfg, float(ri), n, scheme, which)

@@ -180,7 +180,10 @@ def psi(params: dict, mcfg: ModelConfig, x, y, z, r):
     alpha = orbital_exponent(params, r) if "alpha1" in params else None
     f1, f2 = _envelopes(mcfg, x, y, z, r, alpha=alpha)
     g = gate(params, r)
-    r_feat = (0.25 * r) if mcfg.r_input else None
+    # r_input is inferred from the weight shape so checkpoints are
+    # self-describing (config only controls initialisation)
+    use_r = params["h1"]["w"].shape[0] == 3
+    r_feat = (0.25 * r) if use_r else None
     if mcfg.arch == "minimal":
         # reference train.py:45-53
         h = _base(params, f1, f2, r_feat)
@@ -226,7 +229,8 @@ def psi_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
 
     f1 = fwdlap.orbital_envelope(x, y, z, r, mcfg.ry, mcfg.rz, alpha)
     f2 = fwdlap.orbital_envelope(x, y, z, -r, -mcfg.ry, -mcfg.rz, alpha)
-    extra = ([fwdlap.const((0.25 * r)[..., None])] if mcfg.r_input else [])
+    use_r = params["h1"]["w"].shape[0] == 3
+    extra = ([fwdlap.const((0.25 * r)[..., None])] if use_r else [])
 
     if mcfg.arch == "minimal":
         s = fwdlap.concat([f1, f2] + extra)

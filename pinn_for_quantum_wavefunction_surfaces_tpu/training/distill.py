@@ -46,7 +46,7 @@ def rayleigh_targets(params: dict, cfg: Config, r_values=None,
                 params, cfg, float(ri), mesh, n=n, scheme=scheme)
         elif grid == "adapted":
             n_eff = (n or cfg.train.n_test)
-            n_eff = n_eff * 2 if ri < 0.6 else n_eff
+            n_eff = n_eff * 2 if ri < 1.6 else n_eff
             targets[i] = aen.rayleigh_quotient_adapted(params, cfg, float(ri),
                                                        n=n_eff)
         else:
