@@ -12,10 +12,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -40,41 +43,56 @@ def main() -> None:
     z = jax.random.uniform(k[2], (n,), jnp.float32, -18, 18)
     r = jnp.full((n,), 2.0, jnp.float32)
 
-    @jax.jit
-    def xla_path(params, x, y, z, r):
+    def xla_once(params, x, y, z, r):
         s, _ = ansatz.psi_fwdlap(params, cfg.model, x, y, z, r)
         return s.v[..., 0], s.l[..., 0]
 
-    def pallas_path(params, x, y, z, r):
+    def pallas_once(params, x, y, z, r):
         return psi_lap_pallas(params, cfg.model, x, y, z, r)
 
-    def sync(o):
-        return float(np.asarray(o[0][0]))
+    # The remote-PJRT per-call dispatch overhead (~25 ms) would swamp a
+    # single-kernel timing, so iterate INSIDE one executable: scan the op
+    # with a data dependence between iterations (x shifted by the previous
+    # psi mean, preventing CSE) and amortise the call overhead away.
+    iters = 20
 
-    report = {"n": n}
-    for name, fn in (("xla_fwdlap", xla_path), ("pallas_fused", pallas_path)):
+    def looped(once):
+        @jax.jit
+        def run(params, x, y, z, r):
+            def body(carry, _):
+                psi, lap = once(params, x + carry * 1e-12, y, z, r)
+                return jnp.mean(psi) + jnp.mean(lap) * 0, None
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return c
+        return run
+
+    report = {"n": n, "iters_per_call": iters}
+    runners = {"xla_fwdlap": looped(xla_once),
+               "pallas_fused": looped(pallas_once)}
+    for name, fn in runners.items():
         try:
-            out = fn(params, x, y, z, r)
-            sync(out)
+            float(np.asarray(fn(params, x, y, z, r)))  # compile+warm
             times = []
             for _ in range(args.reps):
                 t0 = time.perf_counter()
-                out = fn(params, x, y, z, r)
-                sync(out)
+                float(np.asarray(fn(params, x, y, z, r)))
                 times.append(time.perf_counter() - t0)
-            dt = float(np.median(times))
+            dt = float(np.median(times)) / iters
             report[name] = {"ms": round(dt * 1e3, 3),
                             "points_per_sec": round(n / dt, 1)}
-            # correctness cross-check on a slice
-            if name == "pallas_fused":
-                ref = xla_path(params, x[:4096], y[:4096], z[:4096], r[:4096])
-                got = fn(params, x[:4096], y[:4096], z[:4096], r[:4096])
-                err = max(float(jnp.max(jnp.abs(ref[0] - got[0]))),
-                          float(jnp.max(jnp.abs(ref[1] - got[1]))))
-                report["max_abs_diff"] = err
         except Exception as exc:  # pragma: no cover
             report[name] = {"error": f"{type(exc).__name__}: {exc}"}
             print(f"{name} failed: {exc}", file=sys.stderr)
+    # correctness cross-check on a slice
+    try:
+        ref = jax.jit(xla_once)(params, x[:4096], y[:4096], z[:4096],
+                                r[:4096])
+        got = pallas_once(params, x[:4096], y[:4096], z[:4096], r[:4096])
+        report["max_abs_diff"] = max(
+            float(jnp.max(jnp.abs(ref[0] - got[0]))),
+            float(jnp.max(jnp.abs(ref[1] - got[1]))))
+    except Exception as exc:  # pragma: no cover
+        report["check_error"] = str(exc)
     if ("xla_fwdlap" in report and "pallas_fused" in report
             and "ms" in report.get("pallas_fused", {})):
         report["speedup_pallas_vs_xla"] = round(
