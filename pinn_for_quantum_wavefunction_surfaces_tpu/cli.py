@@ -63,6 +63,8 @@ def _build_cfg(args) -> "object":
         model = dataclasses.replace(model, trainable_exponent=True)
     if getattr(args, "r_input", False):
         model = dataclasses.replace(model, r_input=True)
+    if getattr(args, "gz", False):
+        model = dataclasses.replace(model, gz=True)
     return dataclasses.replace(cfg, model=model, train=train, domain=domain,
                                dtype=args.dtype)
 
@@ -122,6 +124,9 @@ def _add_common(p, train=False):
         p.add_argument("--r-input", action="store_true", dest="r_input",
                        help="feed R into the correction MLP (lifts the "
                             "rank-1-in-R restriction of the reference ansatz)")
+        p.add_argument("--gz", action="store_true",
+                       help="Guillemin-Zener physics part e^{-a r1 - b r2} "
+                            "with trainable b(R) (LCAO is b=0)")
         p.add_argument("--lr-schedule", choices=["none", "step"],
                        dest="lr_schedule",
                        help="step = exponential decay (sc_step/sc_decay)")

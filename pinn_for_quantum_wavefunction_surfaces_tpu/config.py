@@ -47,6 +47,12 @@ class ModelConfig:
     # SAME correction shape. Variational-optimum experiments show this is the
     # binding constraint (~14 mHa bonding-band error at width 16 AND 32).
     r_input: bool = False
+    # Guillemin-Zener physics part: replace the LCAO envelopes with the
+    # classical two-centre form e^{-a r1 - b r2} + P e^{-a r2 - b r1}
+    # (LCAO is b = 0). GZ alone reaches ~0.3 mHa at the H2+ equilibrium —
+    # it removes most of the bonding-band error the LCAO+NN family
+    # saturates at. b(R) is a bounded head in (0, 1.5), initialised to 0.1.
+    gz: bool = False
 
     def __post_init__(self):
         if self.arch not in ("symmetric", "minimal"):

@@ -90,6 +90,12 @@ def init_params(key: jax.Array, mcfg: ModelConfig, dtype=jnp.float32) -> dict:
         # zero weights + the tanh-inverting bias -> alpha(R) == 1 at init
         params["alpha2"] = {"w": jnp.zeros((ha, 1), dtype),
                             "b": jnp.full((1,), ALPHA_BIAS_INIT, dtype)}
+    if mcfg.gz:
+        ha = mcfg.hidden_alpha
+        kb1, _ = jax.random.split(keys[1])
+        params["beta1"] = _init_linear(kb1, 1, ha, dtype)
+        params["beta2"] = {"w": jnp.zeros((ha, 1), dtype),
+                           "b": jnp.full((1,), BETA_BIAS_INIT, dtype)}
     return params
 
 
@@ -138,6 +144,21 @@ def orbital_exponent(params: dict, r: jax.Array) -> jax.Array:
                        + params["alpha1"]["b"])
     h = (a @ params["alpha2"]["w"] + params["alpha2"]["b"])[..., 0]
     return _ALPHA_MID + _ALPHA_HALF * jnp.tanh(h)
+
+
+# Guillemin-Zener second exponent b(R) in (0, 1.5), initialised to 0.1
+_BETA_HALF = 0.75
+BETA_BIAS_INIT = float(np.arctanh(0.1 / _BETA_HALF - 1.0))
+
+
+def gz_exponent(params: dict, r: jax.Array) -> jax.Array:
+    """b(R) = 0.75 (1 + tanh(head(R))); 0 means pure LCAO."""
+    if "beta1" not in params:
+        return jnp.zeros_like(r)
+    a = jax.nn.sigmoid(r[..., None] @ params["beta1"]["w"]
+                       + params["beta1"]["b"])
+    h = (a @ params["beta2"]["w"] + params["beta2"]["b"])[..., 0]
+    return _BETA_HALF * (1.0 + jnp.tanh(h))
 
 
 def _envelopes(mcfg: ModelConfig, x, y, z, r, mirror_x=False, alpha=None):
@@ -195,7 +216,16 @@ def psi(params: dict, mcfg: ModelConfig, x, y, z, r):
     b = (_base(params, f1, f2, r_feat)
          + mcfg.inversion_symmetry * _base(params, f1m, f2m, r_feat))
     nn = b @ params["out"]["w"] + params["out"]["b"]
-    n_lcao = f1 + mcfg.inversion_symmetry * f2
+    if "beta1" in params:
+        # Guillemin-Zener physics part (LCAO is the b=0 special case)
+        a_ = alpha if alpha is not None else jnp.ones_like(r)
+        bt = gz_exponent(params, r)
+        r1 = jnp.sqrt((x - r) ** 2 + (y - mcfg.ry) ** 2 + (z - mcfg.rz) ** 2)
+        r2 = jnp.sqrt((x + r) ** 2 + (y + mcfg.ry) ** 2 + (z + mcfg.rz) ** 2)
+        n_lcao = (jnp.exp(-a_ * r1 - bt * r2)
+                  + mcfg.inversion_symmetry * jnp.exp(-a_ * r2 - bt * r1))
+    else:
+        n_lcao = f1 + mcfg.inversion_symmetry * f2
     return nn[..., 0] * g + n_lcao, e
 
 
@@ -251,7 +281,16 @@ def psi_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
     s = fwdlap.add(b, fwdlap.scale(bm, jnp.asarray(p, b.v.dtype)))
     s = fwdlap.linear(s, params["out"]["w"], params["out"]["b"])
     s = fwdlap.scale(s, g_r)
-    n_lcao = fwdlap.add(f1, fwdlap.scale(f2, jnp.asarray(p, f2.v.dtype)))
+    if "beta1" in params:
+        a_ = alpha if alpha is not None else jnp.ones_like(r)
+        bt = gz_exponent(params, r)
+        c1 = (r, mcfg.ry * jnp.ones_like(r), mcfg.rz * jnp.ones_like(r))
+        c2 = (-r, -mcfg.ry * jnp.ones_like(r), -mcfg.rz * jnp.ones_like(r))
+        gz1 = fwdlap.gz_envelope(x, y, z, c1, c2, a_, bt)
+        gz2 = fwdlap.gz_envelope(x, y, z, c2, c1, a_, bt)
+        n_lcao = fwdlap.add(gz1, fwdlap.scale(gz2, jnp.asarray(p, x.dtype)))
+    else:
+        n_lcao = fwdlap.add(f1, fwdlap.scale(f2, jnp.asarray(p, f2.v.dtype)))
     return fwdlap.add(s, n_lcao), e
 
 

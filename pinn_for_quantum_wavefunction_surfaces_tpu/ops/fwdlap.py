@@ -121,6 +121,41 @@ def concat(parts: list[Spatial], axis: int = -1) -> Spatial:
     )
 
 
+def gz_envelope(x: jax.Array, y: jax.Array, z: jax.Array,
+                c1, c2, a, b) -> Spatial:
+    """Guillemin-Zener two-centre envelope f = exp(-a r1 - b r2) with its
+    analytic gradient and laplacian:
+
+        grad f = -f (a u1 + b u2)            (u_i unit vectors from centres)
+        lap  f =  f (a^2 + b^2 + 2 a b u1.u2 - 2a/r1 - 2b/r2)
+
+    The classical 2-parameter H2+ trial function (LCAO is b = 0); as the
+    physics-baked part of the ansatz it removes most of the bonding-band
+    error that the gate*NN(f1,f2)+LCAO family saturates at. a, b may be
+    per-point arrays (functions of R).
+
+    c1, c2: (3,)-like centre coordinates (tuples of scalars/arrays).
+    """
+    d1 = (x - c1[0], y - c1[1], z - c1[2])
+    d2 = (x - c2[0], y - c2[1], z - c2[2])
+    r1 = jnp.sqrt(d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2)
+    r2 = jnp.sqrt(d2[0] ** 2 + d2[1] ** 2 + d2[2] ** 2)
+    f = jnp.exp(-a * r1 - b * r2)
+    inv1, inv2 = 1.0 / r1, 1.0 / r2
+    u1 = jnp.stack(d1, axis=-1) * inv1[..., None]
+    u2 = jnp.stack(d2, axis=-1) * inv2[..., None]
+    # promote a, b to (...,) arrays for uniform broadcasting
+    a_ = jnp.asarray(a) * jnp.ones_like(r1)
+    b_ = jnp.asarray(b) * jnp.ones_like(r1)
+    g_vec = -(a_[..., None] * u1 + b_[..., None] * u2)
+    u1u2 = jnp.sum(u1 * u2, axis=-1)
+    lap = f * (a_ ** 2 + b_ ** 2 + 2.0 * a_ * b_ * u1u2
+               - 2.0 * a_ * inv1 - 2.0 * b_ * inv2)
+    v = f[..., None]
+    g = (f[..., None] * g_vec)[..., :, None]
+    return Spatial(v, g, lap[..., None])
+
+
 def orbital_envelope(x: jax.Array, y: jax.Array, z: jax.Array,
                      cx, cy, cz, alpha=None) -> Spatial:
     """The 1s atomic-orbital envelope f = exp(-alpha r) centred at

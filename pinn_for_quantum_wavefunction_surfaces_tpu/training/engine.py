@@ -236,5 +236,5 @@ def finetune(cfg: Config, params: dict, **kw) -> TrainResult:
     The trainable-exponent head (if present) belongs to the wavefunction and
     is frozen too."""
     frozen = FINETUNE_FROZEN | frozenset(
-        k for k in ("alpha1", "alpha2") if k in params)
+        k for k in ("alpha1", "alpha2", "beta1", "beta2") if k in params)
     return train(cfg, params=params, frozen=frozen, **kw)
