@@ -151,14 +151,25 @@ _BETA_HALF = 0.75
 BETA_BIAS_INIT = float(np.arctanh(0.1 / _BETA_HALF - 1.0))
 
 
-def gz_exponent(params: dict, r: jax.Array) -> jax.Array:
-    """b(R) = 0.75 (1 + tanh(head(R))); 0 means pure LCAO."""
+def gz_exponent(params: dict, r: jax.Array, p_sym: int = 1,
+                alpha=None) -> jax.Array:
+    """Second GZ exponent b(R); 0 means pure LCAO.
+
+    gerade (p_sym=+1): b = 0.75 (1 + tanh(head)) in (0, 1.5).
+    ungerade (p_sym=-1): the antisymmetric physics part
+    e^{-a r1 - b r2} - e^{-a r2 - b r1} VANISHES IDENTICALLY at b = a —
+    an exact psi=0 collapse mode (observed: loss 2e-13). There b is bounded
+    strictly below a:  b = (a - 0.25) (1 + tanh(head))/2.
+    """
     if "beta1" not in params:
         return jnp.zeros_like(r)
-    a = jax.nn.sigmoid(r[..., None] @ params["beta1"]["w"]
-                       + params["beta1"]["b"])
-    h = (a @ params["beta2"]["w"] + params["beta2"]["b"])[..., 0]
-    return _BETA_HALF * (1.0 + jnp.tanh(h))
+    a_ = jax.nn.sigmoid(r[..., None] @ params["beta1"]["w"]
+                        + params["beta1"]["b"])
+    h = (a_ @ params["beta2"]["w"] + params["beta2"]["b"])[..., 0]
+    if p_sym >= 0:
+        return _BETA_HALF * (1.0 + jnp.tanh(h))
+    alpha = jnp.ones_like(r) if alpha is None else alpha
+    return (alpha - 0.25) * 0.5 * (1.0 + jnp.tanh(h))
 
 
 def _envelopes(mcfg: ModelConfig, x, y, z, r, mirror_x=False, alpha=None):
@@ -219,7 +230,7 @@ def psi(params: dict, mcfg: ModelConfig, x, y, z, r):
     if "beta1" in params:
         # Guillemin-Zener physics part (LCAO is the b=0 special case)
         a_ = alpha if alpha is not None else jnp.ones_like(r)
-        bt = gz_exponent(params, r)
+        bt = gz_exponent(params, r, mcfg.inversion_symmetry, a_)
         r1 = jnp.sqrt((x - r) ** 2 + (y - mcfg.ry) ** 2 + (z - mcfg.rz) ** 2)
         r2 = jnp.sqrt((x + r) ** 2 + (y + mcfg.ry) ** 2 + (z + mcfg.rz) ** 2)
         n_lcao = (jnp.exp(-a_ * r1 - bt * r2)
@@ -283,7 +294,7 @@ def psi_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
     s = fwdlap.scale(s, g_r)
     if "beta1" in params:
         a_ = alpha if alpha is not None else jnp.ones_like(r)
-        bt = gz_exponent(params, r)
+        bt = gz_exponent(params, r, mcfg.inversion_symmetry, a_)
         c1 = (r, mcfg.ry * jnp.ones_like(r), mcfg.rz * jnp.ones_like(r))
         c2 = (-r, -mcfg.ry * jnp.ones_like(r), -mcfg.rz * jnp.ones_like(r))
         gz1 = fwdlap.gz_envelope(x, y, z, c1, c2, a_, bt)
