@@ -58,6 +58,26 @@ def test_gz_ansatz_matches_oracle_and_symmetry():
     np.testing.assert_allclose(np.asarray(pm), np.asarray(pv), rtol=1e-13)
 
 
+def test_ungerade_b_strictly_below_alpha():
+    """P=-1: the physics part vanishes identically at b=a (exact psi=0
+    collapse, observed in training) — the bound must keep b < a always."""
+    cfg = pqs.Config(model=pqs.ModelConfig(gz=True, trainable_exponent=True,
+                                           inversion_symmetry=-1),
+                     dtype="float64")
+    p = ansatz.init_params(jax.random.PRNGKey(0), cfg.model, jnp.float64)
+    # push the head hard toward its upper bound
+    p["beta2"]["b"] = jnp.asarray([50.0])
+    r = jnp.linspace(0.2, 4.0, 64)
+    a = ansatz.orbital_exponent(p, r)
+    b = ansatz.gz_exponent(p, r, -1, a)
+    assert np.all(np.asarray(b) < np.asarray(a) - 0.2)
+    # and the antisymmetric physics part is nonzero off the mirror plane
+    x = jnp.full((8,), 1.3)
+    psi, _ = ansatz.psi(p, cfg.model, x, jnp.zeros(8), jnp.zeros(8),
+                        jnp.linspace(0.5, 3.0, 8))
+    assert float(jnp.min(jnp.abs(psi))) > 1e-4
+
+
 def test_pure_gz_beats_lcao_at_equilibrium():
     """GZ with the classical (a, b) ~ (1.14, 0.22) at R=1 reaches ~0.1 mHa
     where LCAO is ~50 mHa off."""
