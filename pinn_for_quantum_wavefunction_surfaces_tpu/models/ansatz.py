@@ -226,7 +226,13 @@ def psi(params: dict, mcfg: ModelConfig, x, y, z, r):
     f1m, f2m = _envelopes(mcfg, x, y, z, r, mirror_x=True, alpha=alpha)
     b = (_base(params, f1, f2, r_feat)
          + mcfg.inversion_symmetry * _base(params, f1m, f2m, r_feat))
-    nn = b @ params["out"]["w"] + params["out"]["b"]
+    nn = b @ params["out"]["w"]
+    if mcfg.inversion_symmetry > 0:
+        # the constant output bias breaks EXACT antisymmetry for P=-1
+        # (letting a variational objective leak toward the gerade ground
+        # state), so it is applied only in the gerade sector. The reference
+        # keeps it in both (poc/main.py:236) — a flaw, not a feature.
+        nn = nn + params["out"]["b"]
     if "beta1" in params:
         # Guillemin-Zener physics part (LCAO is the b=0 special case)
         a_ = alpha if alpha is not None else jnp.ones_like(r)
@@ -290,7 +296,9 @@ def psi_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
     b = _base_fwdlap(params, fwdlap.concat([f1, f2] + extra))
     bm = _base_fwdlap(params, fwdlap.concat([f1m, f2m] + extra))
     s = fwdlap.add(b, fwdlap.scale(bm, jnp.asarray(p, b.v.dtype)))
-    s = fwdlap.linear(s, params["out"]["w"], params["out"]["b"])
+    # output bias only in the gerade sector (see psi(): exact antisymmetry)
+    out_bias = params["out"]["b"] if mcfg.inversion_symmetry > 0 else None
+    s = fwdlap.linear(s, params["out"]["w"], out_bias)
     s = fwdlap.scale(s, g_r)
     if "beta1" in params:
         a_ = alpha if alpha is not None else jnp.ones_like(r)

@@ -115,7 +115,9 @@ def _make_kernel(mcfg: ModelConfig):
         b_m = _mlp_branch(h_w1[:], h_b1[:], h_w2[:], h_b2[:], o_w[:],
                           f1m, f2m, hidden)
 
-        nn_v = b_pos[0] + p_sym * b_m[0] + o_b[0]
+        # output bias only in the gerade sector (exact antisymmetry for P=-1,
+        # matching models/ansatz.py)
+        nn_v = b_pos[0] + p_sym * b_m[0] + (o_b[0] if p_sym > 0 else 0.0)
         nn_l = b_pos[4] + p_sym * b_m[4]
 
         # gate(R): width-`hidden_gate` sigmoid MLP on R, spatially constant
