@@ -126,7 +126,9 @@ def measure_torch_baseline(n: int = 10_000, steps: int = 3) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
-    ap.add_argument("--steps", type=int, default=30)
+    # enough steps per jit call to amortise the remote-PJRT dispatch
+    # (~25 ms/call vs ~1.4 ms/step of real work)
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
