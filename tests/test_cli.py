@@ -1,0 +1,43 @@
+"""CLI smoke tests (in-process, tiny workloads)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pinn_for_quantum_wavefunction_surfaces_tpu import cli
+
+
+def _run(capsys, argv):
+    cli.main(argv)
+    return capsys.readouterr().out.strip().splitlines()[-1]
+
+
+def test_train_evaluate_roundtrip(tmp_path, capsys):
+    out = str(tmp_path / "run")
+    last = _run(capsys, ["train", "--out", out, "--epochs", "20",
+                         "--n-train", "256", "--dtype", "float64"])
+    rec = json.loads(last)
+    assert rec["best_loss"] > 0
+    assert os.path.exists(os.path.join(out, "best.npz"))
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+
+    last = _run(capsys, ["export", os.path.join(out, "best.npz"),
+                         str(tmp_path / "m.bin")])
+    assert json.loads(last)["written"].endswith("m.bin")
+
+
+def test_energy_on_reference_checkpoint(tmp_path, capsys):
+    ref = "/root/reference/models/ionHsym_fineTune.pt"
+    if not os.path.exists(ref):
+        pytest.skip("reference not mounted")
+    last = _run(capsys, ["energy", ref, "--out", str(tmp_path / "e.pkl"),
+                         "--n-test", "24", "--no-lcao", "--dtype", "float64"])
+    rec = json.loads(last)
+    assert np.isfinite(rec["mean_err_mHa"])
+
+
+def test_bad_checkpoint_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        cli.main(["energy", str(tmp_path / "missing.npz")])
