@@ -84,6 +84,67 @@ def rayleigh_quotient_adapted(params, cfg: Config, ri: float,
     return float(num / den)
 
 
+def rayleigh_quotient_spheroidal(params, cfg: Config, ri: float,
+                                 n_xi: int = 96, n_eta: int = 96,
+                                 which: str = "model",
+                                 xi_span: float = 20.0) -> float:
+    """Rayleigh quotient in prolate-spheroidal coordinates — the EXACT
+    coordinate system of the two-centre problem.
+
+    With foci at the nuclei (+-R on the x-axis, focal half-distance c = R):
+    xi = (r1+r2)/(2c) in [1, inf), eta = (r1-r2)/(2c) in [-1, 1], and the
+    sigma-state integrals reduce to
+
+        I = 2 pi c^3  int int  f(xi, eta) (xi^2 - eta^2) dxi deta.
+
+    The cusped integrands of the Cartesian grids become SMOOTH decaying
+    exponentials in xi (e^{-a r} = e^{-a c (xi+eta)}), so Gauss-Legendre
+    nodes (open — they never hit the nuclei at xi=1, eta=+-1) converge to
+    near machine precision with ~10^4 points, where the Cartesian grids need
+    512k+ points for ~0.1 mHa. Used for final-word evaluation and
+    distillation targets.
+    """
+    dom = cfg.domain
+    del dom  # domain box is irrelevant: the xi grid covers R^3 natively
+    dtype = jnp.result_type(*jax.tree.leaves(params))
+    c = float(ri)
+
+    xi_nodes, xi_w = np.polynomial.legendre.leggauss(n_xi)
+    eta_nodes, eta_w = np.polynomial.legendre.leggauss(n_eta)
+    # map xi from (-1, 1) to (1, 1 + xi_span/c): covers r1+r2 up to
+    # 2c + 2*xi_span (psi^2 ~ e^{-1.5 r} < 1e-13 there for any alpha >= 0.75)
+    half = 0.5 * xi_span / c
+    xi = 1.0 + half * (xi_nodes + 1.0)
+    wxi = xi_w * half
+
+    xi_g, eta_g = np.meshgrid(xi, eta_nodes, indexing="ij")
+    w2d = np.outer(wxi, eta_w) * (xi_g ** 2 - eta_g ** 2) \
+        * (2.0 * np.pi * c ** 3)
+
+    x = c * xi_g * eta_g
+    rho = c * np.sqrt(np.maximum((xi_g ** 2 - 1.0) * (1.0 - eta_g ** 2), 0.0))
+
+    xf = jnp.asarray(x.ravel(), dtype)
+    yf = jnp.asarray(rho.ravel(), dtype)
+    zf = jnp.zeros_like(yf)
+    rf = jnp.full_like(yf, ri)
+    wf = jnp.asarray(w2d.ravel(), dtype)
+
+    @functools.partial(jax.jit, static_argnames=("which",))
+    def sums(params, xf, yf, zf, rf, wf, which):
+        if which == "lcao":
+            s = lcao_fwdlap(cfg.model, xf, yf, zf, rf)
+        else:
+            s, _ = ansatz.psi_fwdlap(params, cfg.model, xf, yf, zf, rf)
+        psi = s.v[..., 0]
+        hpsi = operators.hamiltonian_values(cfg.model, xf, yf, zf, rf, psi,
+                                            s.l[..., 0])
+        return jnp.sum(wf * psi * hpsi), jnp.sum(wf * psi * psi)
+
+    num, den = sums(params, xf, yf, zf, rf, wf, which)
+    return float(num / den)
+
+
 def _slab_fn(params, cfg: Config, ri, which: str, yf, zf, wyz):
     """Per-x-slab weighted partial sums of (psi H psi, psi^2)."""
     def slab(xi):
@@ -191,6 +252,9 @@ def surface(params, cfg: Config, r_values=None, n: int = 80,
     e_lcao = np.zeros(len(r_values))
 
     def quotient(ri, which):
+        if grid == "spheroidal":
+            return rayleigh_quotient_spheroidal(params, cfg, float(ri),
+                                                which=which)
         if grid == "adapted":
             # the united-atom orbital tightens like 1/alpha(R) at small R —
             # raise the axis resolution there (verified: n=80 leaves ~15 mHa

@@ -315,7 +315,7 @@ def cmd_evaluate(args) -> None:
                     {"params": new_params},
                     meta={"fit_rms": info["fit_rms"]})
     surf = aen.surface(new_params, cfg, n=args.n_test, lcao=False,
-                       grid="adapted")
+                       grid="spheroidal")
     aen.save_surface(os.path.join(out_dir, "energy_eval.pkl"), surf)
     exact = aen.exact_energy(surf["R"])
     err = 1e3 * np.abs(surf["E_net"] - exact)
@@ -395,8 +395,10 @@ def main(argv=None) -> None:
     p.add_argument("--n-test", type=int, default=80, dest="n_test")
     p.add_argument("--no-lcao", action="store_true")
     p.add_argument("--grid", default="uniform",
-                   choices=["uniform", "adapted"],
-                   help="adapted = nucleus-clustered quadrature nodes")
+                   choices=["uniform", "adapted", "spheroidal"],
+                   help="adapted = nucleus-clustered Cartesian nodes; "
+                        "spheroidal = prolate-spheroidal Gauss quadrature "
+                        "(machine precision for this problem)")
     p.add_argument("--figure", help="also write the surface figure here")
     p.set_defaults(fn=cmd_energy)
 

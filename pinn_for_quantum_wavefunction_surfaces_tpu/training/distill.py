@@ -30,11 +30,12 @@ from ..analysis import energy as aen
 
 def rayleigh_targets(params: dict, cfg: Config, r_values=None,
                      n: Optional[int] = None, scheme: str = "avg",
-                     grid: str = "adapted",
+                     grid: str = "spheroidal",
                      mesh=None) -> tuple[np.ndarray, np.ndarray]:
     """E*(R) = <psi|H|psi>/<psi|psi> at each R (quadrature). Targets default
-    to the nucleus-adapted grid — an order of magnitude better converged
-    than the uniform reference grid at the same n."""
+    to prolate-spheroidal Gauss quadrature — machine-precision for this
+    two-centre problem with ~10^4 points (analysis.energy
+    .rayleigh_quotient_spheroidal)."""
     dom = cfg.domain
     if r_values is None:
         r_values = np.round(np.arange(dom.r_lo, dom.r_hi + 0.05, 0.05), 3)
@@ -44,6 +45,9 @@ def rayleigh_targets(params: dict, cfg: Config, r_values=None,
         if mesh is not None:
             targets[i] = aen.rayleigh_quotient_sharded(
                 params, cfg, float(ri), mesh, n=n, scheme=scheme)
+        elif grid == "spheroidal":
+            targets[i] = aen.rayleigh_quotient_spheroidal(params, cfg,
+                                                          float(ri))
         elif grid == "adapted":
             n_eff = (n or cfg.train.n_test)
             n_eff = n_eff * 2 if ri < 1.6 else n_eff
