@@ -143,6 +143,12 @@ def psi_lap_pallas(params: dict, mcfg: ModelConfig, x, y, z, r,
     if mcfg.arch != "symmetric":
         raise NotImplementedError("pallas kernel covers the flagship "
                                   "symmetric architecture")
+    if any(k in params for k in ("alpha1", "beta1")) or \
+            params["h1"]["w"].shape[0] != 2:
+        raise NotImplementedError(
+            "pallas kernel implements the reference-parity model (fixed "
+            "exponents, 2-feature base); use the XLA fwdlap path for "
+            "alpha/GZ/r-input extended models")
     n = x.shape[0]
     n_pad = -(-n // _TILE) * _TILE
     dtype = x.dtype

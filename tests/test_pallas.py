@@ -37,3 +37,12 @@ def test_kernel_rejects_minimal_arch():
     x = jnp.ones((8,), jnp.float32)
     with pytest.raises(NotImplementedError):
         psi_lap_pallas(params, cfg.model, x, x, x, x, interpret=True)
+
+
+def test_kernel_rejects_extended_models():
+    """The kernel must not SILENTLY ignore alpha/GZ heads."""
+    cfg = pqs.Config(model=pqs.ModelConfig(gz=True, trainable_exponent=True))
+    params = ansatz.init_params(jax.random.PRNGKey(0), cfg.model, jnp.float32)
+    x = jnp.ones((8,), jnp.float32)
+    with pytest.raises(NotImplementedError):
+        psi_lap_pallas(params, cfg.model, x, x, x, x, interpret=True)
