@@ -104,8 +104,10 @@ def rayleigh_quotient_spheroidal(params, cfg: Config, ri: float,
     512k+ points for ~0.1 mHa. Used for final-word evaluation and
     distillation targets.
     """
-    dom = cfg.domain
-    del dom  # domain box is irrelevant: the xi grid covers R^3 natively
+    if cfg.model.ry or cfg.model.rz:
+        raise NotImplementedError(
+            "spheroidal quadrature assumes the nuclei on the x-axis "
+            "(sigma symmetry); use the Cartesian grids for ry/rz != 0")
     dtype = jnp.result_type(*jax.tree.leaves(params))
     c = float(ri)
 
