@@ -365,11 +365,12 @@ def cmd_export(args) -> None:
 
 
 def cmd_bench(args) -> None:
+    import subprocess
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, root)
-    import bench
-    sys.argv = ["bench.py"] + (["--n", str(args.n)] if args.n else [])
-    bench.main()
+    cmd = [sys.executable, os.path.join(root, "bench.py")]
+    if args.n:
+        cmd += ["--n", str(args.n)]
+    raise SystemExit(subprocess.call(cmd))
 
 
 def main(argv=None) -> None:
