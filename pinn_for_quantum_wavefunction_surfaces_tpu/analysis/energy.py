@@ -132,19 +132,21 @@ def rayleigh_quotient_spheroidal(params, cfg: Config, ri: float,
     rf = jnp.full_like(yf, ri)
     wf = jnp.asarray(w2d.ravel(), dtype)
 
-    @functools.partial(jax.jit, static_argnames=("which",))
-    def sums(params, xf, yf, zf, rf, wf, which):
-        if which == "lcao":
-            s = lcao_fwdlap(cfg.model, xf, yf, zf, rf)
-        else:
-            s, _ = ansatz.psi_fwdlap(params, cfg.model, xf, yf, zf, rf)
-        psi = s.v[..., 0]
-        hpsi = operators.hamiltonian_values(cfg.model, xf, yf, zf, rf, psi,
-                                            s.l[..., 0])
-        return jnp.sum(wf * psi * hpsi), jnp.sum(wf * psi * psi)
-
-    num, den = sums(params, xf, yf, zf, rf, wf, which)
+    num, den = _spheroidal_sums(params, cfg, xf, yf, zf, rf, wf, which)
     return float(num / den)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "which"))
+def _spheroidal_sums(params, cfg: Config, xf, yf, zf, rf, wf, which: str):
+    """Module-level jit so the sweep over R reuses one executable."""
+    if which == "lcao":
+        s = lcao_fwdlap(cfg.model, xf, yf, zf, rf)
+    else:
+        s, _ = ansatz.psi_fwdlap(params, cfg.model, xf, yf, zf, rf)
+    psi = s.v[..., 0]
+    hpsi = operators.hamiltonian_values(cfg.model, xf, yf, zf, rf, psi,
+                                        s.l[..., 0])
+    return jnp.sum(wf * psi * hpsi), jnp.sum(wf * psi * psi)
 
 
 def _slab_fn(params, cfg: Config, ri, which: str, yf, zf, wyz):
