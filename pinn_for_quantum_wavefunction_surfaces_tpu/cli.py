@@ -159,9 +159,30 @@ def cmd_train(args) -> None:
                                                 state.best_params)},
                         meta={"step": step,
                               "best_loss": float(state.best_loss)})
+        # full training state (params + Adam moments) for exact resume
+        checkpoint.save(os.path.join(args.out, "state.npz"),
+                        {"params": jax.tree.map(np.asarray, state.params),
+                         "opt": jax.tree.map(np.asarray, state.opt_state)},
+                        meta={"step": step})
 
-    params = _load_params(args.resume) if args.resume else None
-    res = engine.train(cfg, params=params, mesh=mesh, log_cb=log,
+    params = opt_state = None
+    start_step = 0
+    if args.resume:
+        if args.resume.endswith("state.npz"):
+            # exact resume: rebuild the optimizer state via the template
+            optimizer = engine.make_optimizer(cfg)
+            p0 = _load_params(args.resume)
+            template = {"params": p0,
+                        "opt": optimizer.init(
+                            jax.tree.map(lambda a: np.asarray(a, cfg.dtype),
+                                         p0))}
+            tree, meta = checkpoint.load(args.resume, template)
+            params, opt_state = tree["params"], tree["opt"]
+            start_step = int(meta.get("step", 0))
+        else:
+            params = _load_params(args.resume)
+    res = engine.train(cfg, params=params, opt_state=opt_state,
+                       start_step=start_step, mesh=mesh, log_cb=log,
                        checkpoint_cb=ckpt_cb)
     checkpoint.save(os.path.join(args.out, "final.npz"),
                     {"params": res.params},

@@ -38,6 +38,20 @@ def test_energy_on_reference_checkpoint(tmp_path, capsys):
     assert np.isfinite(rec["mean_err_mHa"])
 
 
+def test_exact_resume_from_state(tmp_path, capsys):
+    out1 = str(tmp_path / "s1")
+    _run(capsys, ["train", "--out", out1, "--epochs", "30",
+                  "--n-train", "256", "--dtype", "float64"])
+    assert os.path.exists(os.path.join(out1, "state.npz"))
+    out2 = str(tmp_path / "s2")
+    last = _run(capsys, ["train", "--out", out2, "--resume",
+                         os.path.join(out1, "state.npz"), "--epochs", "10",
+                         "--n-train", "256", "--dtype", "float64"])
+    rec = json.loads(last)
+    # a warm resume starts orders of magnitude below a cold start
+    assert rec["best_loss"] < 1e-3
+
+
 def test_bad_checkpoint_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         cli.main(["energy", str(tmp_path / "missing.npz")])
