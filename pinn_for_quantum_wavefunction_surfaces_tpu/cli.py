@@ -181,9 +181,16 @@ def cmd_train(args) -> None:
             start_step = int(meta.get("step", 0))
         else:
             params = _load_params(args.resume)
-    res = engine.train(cfg, params=params, opt_state=opt_state,
-                       start_step=start_step, mesh=mesh, log_cb=log,
-                       checkpoint_cb=ckpt_cb)
+    if args.profile:
+        from .utils.profiling import trace
+        with trace(args.profile):
+            res = engine.train(cfg, params=params, opt_state=opt_state,
+                               start_step=start_step, mesh=mesh, log_cb=log,
+                               checkpoint_cb=ckpt_cb)
+    else:
+        res = engine.train(cfg, params=params, opt_state=opt_state,
+                           start_step=start_step, mesh=mesh, log_cb=log,
+                           checkpoint_cb=ckpt_cb)
     checkpoint.save(os.path.join(args.out, "final.npz"),
                     {"params": res.params},
                     meta={"best_loss": res.best_loss,
@@ -401,7 +408,12 @@ def main(argv=None) -> None:
     p = sub.add_parser("train", help="stage-1 training")
     _add_common(p, train=True)
     p.add_argument("--out", default="runs/stage1")
-    p.add_argument("--resume", help="checkpoint to warm-start from")
+    p.add_argument("--resume",
+                   help="checkpoint to warm-start from (params-only), or a "
+                        "state.npz for exact resume incl. optimizer state")
+    p.add_argument("--profile",
+                   help="capture a jax.profiler trace of the run into DIR "
+                        "(view in TensorBoard/Perfetto)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("finetune", help="stage-2 E-head fine-tune")
