@@ -100,6 +100,61 @@ def _hf_integral(params, cfg: Config, ri, n: int, scheme: str,
     return jnp.sum(w * nums), jnp.sum(w * dens)
 
 
+def denergy_dr_hf_spheroidal(params, cfg: Config, ri: float,
+                             n_xi: int = 128, n_eta: int = 128,
+                             total: bool = True,
+                             xi_span: float = 20.0) -> float:
+    """Hellmann-Feynman dE/dR on the prolate-spheroidal Gauss grid.
+
+    The Cartesian HF integrand psi^2 (x -+ R)/r^3 needs singularity
+    subtraction and still converges slowly (see ``_hf_integral``); in
+    spheroidal coordinates the volume element (xi^2 - eta^2) = r1 r2 / c^2
+    cancels a full power of each 1/r and Gauss-Legendre nodes never touch
+    the nuclei, so this converges like the energy quadrature.
+    """
+    if cfg.model.ry or cfg.model.rz:
+        raise NotImplementedError("spheroidal HF assumes on-axis nuclei")
+    import numpy as _np
+    dtype = jnp.result_type(*jax.tree.leaves(params))
+    c = float(ri)
+    xi_nodes, xi_w = _np.polynomial.legendre.leggauss(n_xi)
+    eta_nodes, eta_w = _np.polynomial.legendre.leggauss(n_eta)
+    half = 0.5 * xi_span / c
+    xi = 1.0 + half * (xi_nodes + 1.0)
+    wxi = xi_w * half
+    xi_g, eta_g = _np.meshgrid(xi, eta_nodes, indexing="ij")
+    w2d = _np.outer(wxi, eta_w) * (xi_g ** 2 - eta_g ** 2) \
+        * (2.0 * _np.pi * c ** 3)
+    x = c * xi_g * eta_g
+    rho = c * _np.sqrt(_np.maximum((xi_g ** 2 - 1.0) * (1.0 - eta_g ** 2),
+                                   0.0))
+    xf = jnp.asarray(x.ravel(), dtype)
+    yf = jnp.asarray(rho.ravel(), dtype)
+    zf = jnp.zeros_like(yf)
+    rf = jnp.full_like(yf, ri)
+    wf = jnp.asarray(w2d.ravel(), dtype)
+    psi, _ = ansatz.psi(params, cfg.model, xf, yf, zf, rf)
+    # singularity subtraction (same identity as the Cartesian path): for any
+    # spherical s(r) around a nucleus the odd-angular integral of
+    # s(r)(x-R)/r^3 vanishes exactly, so subtracting psi^2(nucleus) e^{-2r}
+    # removes the residual 1/r of each term on this grid too
+    ri_arr = jnp.asarray([ri], dtype)
+    zero = jnp.zeros_like(ri_arr)
+    a1 = ansatz.psi(params, cfg.model, ri_arr, zero, zero, ri_arr)[0][0] ** 2
+    a2 = ansatz.psi(params, cfg.model, -ri_arr, zero, zero, ri_arr)[0][0] ** 2
+    r1, r2 = operators.radial(cfg.model, xf, yf, zf, rf)
+    t1 = -(xf - rf) / r1 ** 3
+    t2 = (xf + rf) / r2 ** 3
+    psi2 = psi * psi
+    num = float(jnp.sum(wf * ((psi2 - a1 * jnp.exp(-2 * r1)) * t1
+                              + (psi2 - a2 * jnp.exp(-2 * r2)) * t2)))
+    den = float(jnp.sum(wf * psi2))
+    de = num / den
+    if total:
+        de -= 1.0 / (2.0 * ri ** 2)
+    return de
+
+
 def denergy_dr_hellmann_feynman(params, cfg: Config, ri: float,
                                 n: int | None = None, scheme: str = "avg",
                                 total: bool = True,

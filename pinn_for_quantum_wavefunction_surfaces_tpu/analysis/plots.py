@@ -182,8 +182,13 @@ def forces_figure(params, cfg: Config, r_values=None,
     g_auto = afo.denergy_dr_autograd(params, r_values, total=True)
     g_fd = afo.denergy_dr_fd(params, r_values, total=True)
     r_hf = np.linspace(r_values[0], r_values[-1], hf_points)
-    g_hf = np.array([afo.denergy_dr_hellmann_feynman(params, cfg, float(ri))
-                     for ri in r_hf])
+    if cfg.model.ry == 0.0 and cfg.model.rz == 0.0:
+        g_hf = np.array([afo.denergy_dr_hf_spheroidal(params, cfg, float(ri))
+                         for ri in r_hf])
+    else:
+        g_hf = np.array([afo.denergy_dr_hellmann_feynman(params, cfg,
+                                                         float(ri))
+                         for ri in r_hf])
     fig, ax = plt.subplots()
     ax.plot(r_values, -g_auto, "b-", label="autograd")
     ax.plot(r_values, -g_fd, "g--", label="finite diff")

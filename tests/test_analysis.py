@@ -53,6 +53,18 @@ def test_hellmann_feynman_consistency(ref_params):
     assert np.isfinite(raw)
 
 
+def test_spheroidal_hf_converged(ref_params):
+    """Spheroidal + subtracted HF converges to 5 decimals by n=64."""
+    cfg = pqs.Config(dtype="float64")
+    a = forces.denergy_dr_hf_spheroidal(ref_params, cfg, 2.0, n_xi=64,
+                                        n_eta=64)
+    b = forces.denergy_dr_hf_spheroidal(ref_params, cfg, 2.0, n_xi=160,
+                                        n_eta=160)
+    assert abs(a - b) < 1e-4
+    # physical ballpark of the exact slope at R=2 (+0.0545)
+    assert abs(b - 0.0545) < 0.05
+
+
 def test_equilibrium_force_near_zero(ref_params):
     """At the H2+ equilibrium (half-distance ~1.0 bohr) the total force
     should vanish."""
