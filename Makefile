@@ -1,0 +1,28 @@
+# Developer entry points. CPU targets bypass the axon TPU registration
+# (see CLAUDE.md); TPU targets use the default environment.
+
+CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
+
+.PHONY: test bench train evaluate dryrun pallas-ab
+
+test:
+	$(CPU_ENV) python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+pallas-ab:
+	python benchmarks/pallas_ab.py
+
+train:
+	python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli train \
+	  --out runs/flagship --epochs 20000 --gz --trainable-exponent \
+	  --lr-schedule step
+
+evaluate:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate artifacts/flagship.npz --dtype float64
+
+dryrun:
+	$(CPU_ENV) XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	  python __graft_entry__.py dryrun 8
