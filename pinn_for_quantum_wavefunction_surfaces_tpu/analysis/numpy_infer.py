@@ -30,22 +30,62 @@ def gate(params: dict, r: np.ndarray) -> np.ndarray:
     return (g @ params["gate2"]["w"] + params["gate2"]["b"])[..., 0]
 
 
+# Bounded-head constants — MUST equal models/ansatz.py's (_ALPHA_MID,
+# _ALPHA_HALF, _BETA_HALF); tests/test_numpy_infer.py cross-checks them.
+_ALPHA_MID, _ALPHA_HALF = 1.5, 0.75
+_BETA_HALF = 0.75
+
+
+def orbital_exponent(params: dict, r: np.ndarray) -> np.ndarray:
+    """alpha(R) = 1.5 + 0.75 tanh(head(R)); 1 when the head is absent."""
+    r = np.asarray(r, np.float64)
+    if "alpha1" not in params:
+        return np.ones_like(r)
+    a = _sigmoid(r[..., None] @ params["alpha1"]["w"] + params["alpha1"]["b"])
+    h = (a @ params["alpha2"]["w"] + params["alpha2"]["b"])[..., 0]
+    return _ALPHA_MID + _ALPHA_HALF * np.tanh(h)
+
+
+def gz_exponent(params: dict, r: np.ndarray, p_sym: int = 1,
+                alpha=None) -> np.ndarray:
+    """Second Guillemin-Zener exponent b(R); 0 means pure LCAO.
+    Mirrors models/ansatz.gz_exponent (incl. the ungerade b < alpha bound)."""
+    r = np.asarray(r, np.float64)
+    if "beta1" not in params:
+        return np.zeros_like(r)
+    a_ = _sigmoid(r[..., None] @ params["beta1"]["w"] + params["beta1"]["b"])
+    h = (a_ @ params["beta2"]["w"] + params["beta2"]["b"])[..., 0]
+    if p_sym >= 0:
+        return _BETA_HALF * (1.0 + np.tanh(h))
+    alpha = np.ones_like(r) if alpha is None else alpha
+    return (alpha - 0.25) * 0.5 * (1.0 + np.tanh(h))
+
+
 def psi(params: dict, x, y, z, r, arch: str = "symmetric",
         inversion_symmetry: int = 1, ry: float = 0.0,
         rz: float = 0.0) -> np.ndarray:
     """Full ansatz forward, numpy only (reference plot.py:36-49 for the
-    minimal architecture; the symmetric branch mirrors
-    models/ansatz.py)."""
+    minimal architecture; the symmetric branch mirrors models/ansatz.psi,
+    including the trainable-exponent / Guillemin-Zener heads and the
+    gerade-only output bias)."""
     x, y, z, r = (np.asarray(a, np.float64) for a in (x, y, z, r))
     p = inversion_symmetry
+    alpha = orbital_exponent(params, r) if "alpha1" in params else None
 
     def envelopes(xs):
         r1 = np.sqrt((xs - r) ** 2 + (y - ry) ** 2 + (z - rz) ** 2)
         r2 = np.sqrt((xs + r) ** 2 + (y + ry) ** 2 + (z + rz) ** 2)
-        return np.exp(-r1), np.exp(-r2)
+        if alpha is None:
+            return np.exp(-r1), np.exp(-r2)
+        return np.exp(-alpha * r1), np.exp(-alpha * r2)
+
+    # r_input models feed (f1, f2, R/4) — inferred from the weight shape,
+    # mirroring ansatz.psi
+    use_r = params["h1"]["w"].shape[0] == 3
 
     def base(f1, f2):
-        h = np.stack([f1, f2], axis=-1)
+        feats = [f1, f2] + ([0.25 * r * np.ones_like(f1)] if use_r else [])
+        h = np.stack(feats, axis=-1)
         h = _sigmoid(h @ params["h1"]["w"] + params["h1"]["b"])
         return _sigmoid(h @ params["h2"]["w"] + params["h2"]["b"])
 
@@ -56,5 +96,18 @@ def psi(params: dict, x, y, z, r, arch: str = "symmetric",
         return f1 + f2 + nn[..., 0] * g
     f1m, f2m = envelopes(-x)
     b = base(f1, f2) + p * base(f1m, f2m)
-    nn = b @ params["out"]["w"] + params["out"]["b"]
-    return nn[..., 0] * g + f1 + p * f2
+    nn = b @ params["out"]["w"]
+    if p > 0:
+        # the constant output bias is gerade-only (exact antisymmetry for
+        # P=-1), matching models/ansatz.psi
+        nn = nn + params["out"]["b"]
+    if "beta1" in params:
+        a_ = alpha if alpha is not None else np.ones_like(r)
+        bt = gz_exponent(params, r, p, a_)
+        r1 = np.sqrt((x - r) ** 2 + (y - ry) ** 2 + (z - rz) ** 2)
+        r2 = np.sqrt((x + r) ** 2 + (y + ry) ** 2 + (z + rz) ** 2)
+        n_lcao = (np.exp(-a_ * r1 - bt * r2)
+                  + p * np.exp(-a_ * r2 - bt * r1))
+    else:
+        n_lcao = f1 + p * f2
+    return nn[..., 0] * g + n_lcao

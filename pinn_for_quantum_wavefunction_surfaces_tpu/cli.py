@@ -90,7 +90,8 @@ def _add_common(p, train=False):
         p.add_argument("--arch", default="symmetric",
                        choices=["symmetric", "minimal"])
         p.add_argument("--n-train", type=int, dest="n_train")
-        p.add_argument("--epochs", type=int)
+        p.add_argument("--epochs", type=int,
+               help="TOTAL schedule length; a resumed run trains the remaining\n epochs - start_step steps")
         p.add_argument("--lr", type=float)
         p.add_argument("--seed", type=int)
         p.add_argument("--fixed-r", type=float, dest="fixed_r",

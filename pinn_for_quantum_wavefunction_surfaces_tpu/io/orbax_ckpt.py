@@ -23,15 +23,30 @@ def _checkpointer():
 
 
 def save(path: str, tree: Any, meta: Optional[dict] = None) -> None:
-    """Atomic Orbax save of a pytree (+ JSON metadata) to directory ``path``."""
+    """Atomic Orbax save of a pytree (+ JSON metadata) to directory ``path``.
+
+    Metadata goes to the sibling file ``<path>.meta.json`` via tmp-file +
+    ``os.replace`` BEFORE the Orbax commit: the finalized checkpoint
+    directory is never mutated (Orbax's commit-marker integrity model), and
+    a crash between the two steps leaves a stale meta without a checkpoint —
+    recoverable — rather than a committed checkpoint without meta.
+    """
     import os
     ocp = _checkpointer()
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.abspath(path), tree, force=True)
+    apath = os.path.abspath(path)
     if meta:
         import json
-        with open(os.path.join(path, "meta.json"), "w") as f:
+        mpath = _meta_path(apath)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp, mpath)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(apath, tree, force=True)
+
+
+def _meta_path(apath: str) -> str:
+    return apath.rstrip("/") + ".meta.json"
 
 
 def load(path: str, like: Any):
@@ -40,11 +55,14 @@ def load(path: str, like: Any):
     import json
     import os
     ocp = _checkpointer()
+    apath = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        tree = ckptr.restore(os.path.abspath(path), like)
-    meta_path = os.path.join(path, "meta.json")
+        tree = ckptr.restore(apath, like)
     meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    # sibling file (current format), then legacy in-directory meta.json
+    for meta_path in (_meta_path(apath), os.path.join(path, "meta.json")):
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            break
     return tree, meta

@@ -83,7 +83,12 @@ class _Unpickler(pickle.Unpickler):
         if module.startswith("torch"):
             # benign enums/dtypes referenced but unused for plain checkpoints
             return lambda *a, **k: None
-        return super().find_class(module, name)
+        # Strict allowlist: everything a checkpoint dict legitimately needs is
+        # handled above; falling through to the unrestricted default would let
+        # an untrusted .pt execute arbitrary code via __reduce__ payloads.
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name}: not in the checkpoint "
+            "allowlist (torch tensor rebuilds + collections.OrderedDict)")
 
     def persistent_load(self, pid):
         kind, storage_type, key, _location, numel = pid

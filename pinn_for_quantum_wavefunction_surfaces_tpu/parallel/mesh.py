@@ -36,9 +36,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
 from ..ops.sampling import Batch, sample_batch
-from ..training.losses import LossAux
-from ..models import ansatz
-from ..ops import operators
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -85,51 +82,39 @@ def shard_state(state, mesh: Mesh, axis: str = "data"):
 # Explicit shard_map step
 
 
-def _local_sums(params, cfg: Config, batch: Batch):
-    """Per-shard (sum, count) statistics of the loss terms."""
-    s, e = ansatz.psi_fwdlap(params, cfg.model, batch.x, batch.y, batch.z,
-                             batch.r)
-    res = operators.RESIDUALS[cfg.convention](
-        cfg.model, batch.x, batch.y, batch.z, batch.r, s.v[..., 0],
-        s.l[..., 0], e)
-    psi2 = s.v[..., 0] ** 2
-    return {
-        "res2": jnp.sum(res ** 2),
-        "n": jnp.asarray(res.shape[0], res.dtype),
-        "bc1": jnp.sum(jnp.where(batch.bc1, psi2, 0.0)),
-        "c1": jnp.sum(batch.bc1).astype(res.dtype),
-        "bc2": jnp.sum(jnp.where(batch.bc2, psi2, 0.0)),
-        "c2": jnp.sum(batch.bc2).astype(res.dtype),
-        "e_last": e[-1],
-    }
-
-
 def make_shardmap_step(cfg: Config, optimizer, mesh: Mesh,
                        axis: str = "data"):
     """Explicit-SPMD training step over ``mesh``.
 
     Per-device: sample a local sub-batch (n_train / n_devices points, key
-    folded with the device index), compute local loss sums, ``psum`` for the
-    exact global loss, ``psum`` the gradients, apply the (replicated) Adam
-    update. Returns a function with the same (state, _) -> (state, History)
+    folded with the device index), evaluate the EXACT global loss via
+    ``training.losses.loss_fn`` with ``allreduce = psum`` — every batch
+    reduction (point means, boundary-subset means, the scale-invariant
+    normaliser, LCAO residual weights, the correction regulariser) becomes a
+    psum'd (sum, count) pair, so all loss modes run on this path with
+    single-device semantics. Differentiating the replicated global loss
+    per-device and psum'ing the gradients would overcount by n_dev (the
+    transpose of psum is psum), so each device differentiates its 1/n_dev
+    share; psum of those shares is the exact global loss and gradient.
+
+    Returns a function with the same (state, _) -> (state, History)
     signature as the single-device step.
     """
     import optax
     from jax import shard_map
     from ..training.engine import TrainState, History
+    from ..training.losses import loss_fn
 
     n_dev = mesh.shape[axis]
-    if cfg.train.residual_weight != "none" or cfg.train.scale_invariant:
-        raise NotImplementedError(
-            "residual weighting / scale-invariant losses need global "
-            "normalisers; use the GSPMD path (engine.make_step with mesh=...) "
-            "which handles them")
     if cfg.train.n_train % n_dev:
         raise ValueError(f"n_train={cfg.train.n_train} not divisible by "
                          f"{n_dev} devices")
     n_local = cfg.train.n_train // n_dev
     resample_cutoff = int(cfg.train.resample_frac * cfg.train.epochs)
     every = cfg.train.resample_every
+
+    def psum(v):
+        return jax.lax.psum(v, axis)
 
     def device_step(state: TrainState):
         idx = jax.lax.axis_index(axis)
@@ -141,25 +126,17 @@ def make_shardmap_step(cfg: Config, optimizer, mesh: Mesh,
                              lambda k: sample_batch(k, cfg, n=n_local),
                              lambda k: state.batch, sub)
 
-        def global_loss(params):
-            loc = _local_sums(params, cfg, batch)
-            n = jax.lax.psum(loc["n"], axis)
-            c1 = jnp.maximum(jax.lax.psum(loc["c1"], axis), 1.0)
-            c2 = jnp.maximum(jax.lax.psum(loc["c2"], axis), 1.0)
-            n, c1, c2 = map(jax.lax.stop_gradient, (n, c1, c2))
-            # each device's share of the exact global loss; psum(l_dev) and
-            # psum(grad l_dev) are the global loss/grad
-            l_dev = loc["res2"] / n + loc["bc1"] / c1 + loc["bc2"] / c2
-            aux = LossAux(loc["res2"] / n, loc["bc1"] / c1 + loc["bc2"] / c2,
-                          loc["e_last"], loc["e_last"])
-            return l_dev, aux
+        def share_of_global_loss(params):
+            l_tot, aux = loss_fn(params, cfg, batch, allreduce=psum)
+            return l_tot / n_dev, aux
 
-        (l_dev, aux), g_dev = jax.value_and_grad(global_loss, has_aux=True)(
-            state.params)
-        l_tot = jax.lax.psum(l_dev, axis)
-        l_pde = jax.lax.psum(aux.l_pde, axis)
-        l_bc = jax.lax.psum(aux.l_bc, axis)
-        grads = jax.lax.psum(g_dev, axis)
+        (l_share, aux), g_share = jax.value_and_grad(
+            share_of_global_loss, has_aux=True)(state.params)
+        l_tot = psum(l_share)       # == the replicated global loss
+        grads = psum(g_share)       # == the exact global gradient
+        # E of the GLOBAL last batch point (the reference's history E_h[tt] =
+        # E[-1]): select the last device's local last point and replicate.
+        e_last = psum(jnp.where(idx == n_dev - 1, aux.e_last, 0.0))
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -174,7 +151,9 @@ def make_shardmap_step(cfg: Config, optimizer, mesh: Mesh,
                                   state.ema_params, new_params)
         new_state = TrainState(state.step + 1, new_params, opt_state, batch,
                                best_params, best_loss, ema_params, key)
-        return new_state, History(l_tot, l_pde, l_bc, aux.e_last)
+        # aux.l_pde / aux.l_bc are already replicated global values (every
+        # reduction inside loss_fn was psum'd)
+        return new_state, History(l_tot, aux.l_pde, aux.l_bc, e_last)
 
     state_specs = TrainState(
         step=P(), params=P(), opt_state=P(),
@@ -184,8 +163,7 @@ def make_shardmap_step(cfg: Config, optimizer, mesh: Mesh,
 
     sharded = shard_map(device_step, mesh=mesh,
                         in_specs=(state_specs,),
-                        out_specs=(state_specs, History(P(), P(), P(), P())),
-                        check_vma=False)
+                        out_specs=(state_specs, History(P(), P(), P(), P())))
 
     def step(state: TrainState, _):
         return sharded(state)

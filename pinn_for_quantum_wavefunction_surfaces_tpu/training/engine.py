@@ -172,6 +172,13 @@ def train(cfg: Config,
     then control returns to the host for logging and best-model persistence
     (the poc policy, reference poc/main.py:414-417). Pass ``mesh`` to shard
     the collocation batch across devices (see parallel/mesh.py).
+
+    ``cfg.train.epochs`` is the TOTAL schedule length: resuming with
+    ``start_step = s`` runs the remaining ``epochs - s`` steps, so the
+    resample cutoff (absolute ``state.step``), the best-persist gate and the
+    step counter persisted in checkpoint metadata all share one absolute
+    counter. (A resumed finished run trains zero further steps instead of
+    re-running the whole schedule on a frozen batch.)
     """
     t = cfg.train
     key = jax.random.PRNGKey(t.seed) if key is None else key
@@ -188,7 +195,7 @@ def train(cfg: Config,
     run_chunk = jax.jit(run_chunk, static_argnums=1)
 
     chunks = []
-    n_done = 0
+    n_done = start_step  # absolute step counter (== state.step on device)
     persist_after = int(t.best_after_frac * t.epochs)
     last_persisted_best = np.inf
     t0 = time.perf_counter()
@@ -212,11 +219,14 @@ def train(cfg: Config,
             last_persisted_best = best
     jax.block_until_ready(state.params)
     runtime = time.perf_counter() - t0
+    steps_run = n_done - start_step
+    cat = (lambda xs: np.concatenate(xs) if xs
+           else np.zeros((0,), np.float32))
     history = {
-        "Ltot": np.concatenate([c.l_tot for c in chunks]),
-        "Lpde": np.concatenate([c.l_pde for c in chunks]),
-        "Lbc": np.concatenate([c.l_bc for c in chunks]),
-        "Energy": np.concatenate([c.energy for c in chunks]),
+        "Ltot": cat([c.l_tot for c in chunks]),
+        "Lpde": cat([c.l_pde for c in chunks]),
+        "Lbc": cat([c.l_bc for c in chunks]),
+        "Energy": cat([c.energy for c in chunks]),
     }
     return TrainResult(
         state=state,
@@ -225,7 +235,7 @@ def train(cfg: Config,
         best_loss=float(state.best_loss),
         history=history,
         runtime_s=runtime,
-        points_per_sec=t.epochs * t.n_train / runtime,
+        points_per_sec=steps_run * t.n_train / max(runtime, 1e-9),
         ema_params=jax.tree.map(np.asarray, state.ema_params),
     )
 

@@ -33,30 +33,49 @@ class LossAux(NamedTuple):
 
 
 def loss_fn(params: dict, cfg: Config, batch: Batch,
-            lam_pde: float = 1.0, lam_bc: float = 1.0):
-    """Total loss and aux metrics for one collocation batch."""
+            lam_pde: float = 1.0, lam_bc: float = 1.0,
+            allreduce=None):
+    """Total loss and aux metrics for one collocation batch.
+
+    ``allreduce`` generalises every batch reduction: the loss is written as
+    (sum, count) statistics with ``allreduce`` applied to each, so the SAME
+    code computes the exact global loss on one device (identity, the
+    default), under GSPMD (identity — the batch is a global array and XLA
+    inserts the collectives), and inside ``shard_map`` (``lax.psum`` over the
+    data axis, see parallel/mesh.py) — including the scale-invariant
+    normaliser, LCAO residual weighting and the correction regulariser,
+    whose normalisers are GLOBAL means. ``aux.e_last`` is the LOCAL last
+    point's E under shard_map; the caller selects the global one.
+    """
+    ar = (lambda v: v) if allreduce is None else allreduce
     s, e = ansatz.psi_fwdlap(params, cfg.model, batch.x, batch.y, batch.z,
                              batch.r)
     res = operators.RESIDUALS[cfg.convention](
         cfg.model, batch.x, batch.y, batch.z, batch.r, s.v[..., 0],
         s.l[..., 0], e)
+    n = ar(jnp.asarray(res.shape[0], res.dtype))  # global point count
     if cfg.train.residual_weight == "lcao":
         # local-energy-variance weighting: |(H-E)psi|^2 weighted by the
         # LCAO density (param-free surrogate for psi^2), floored so the far
         # field keeps anchoring the eigenvalue through the tail decay
         w = ansatz.lcao(cfg.model, batch.x, batch.y, batch.z, batch.r) ** 2
-        w = w / (jnp.mean(w) + 1e-30)
+        w = w / (ar(jnp.sum(w)) / n + 1e-30)
         floor = cfg.train.residual_weight_floor
         weight = (w + floor) / (1.0 + floor)
-        l_pde = jnp.mean(res ** 2 * weight)
+        l_pde = ar(jnp.sum(res ** 2 * weight)) / n
     else:
-        l_pde = jnp.mean(res ** 2)
+        l_pde = ar(jnp.sum(res ** 2)) / n
     psi2 = s.v[..., 0] ** 2
-    l_bc = masked_mean(psi2, batch.bc1) + masked_mean(psi2, batch.bc2)
+
+    def bc_mean(mask):
+        count = jnp.maximum(ar(jnp.sum(mask)), 1)
+        return ar(jnp.sum(jnp.where(mask, psi2, 0.0))) / count
+
+    l_bc = bc_mean(batch.bc1) + bc_mean(batch.bc2)
     if cfg.train.scale_invariant:
         # remove the amplitude-collapse mode: both terms become invariant
         # under psi -> c * psi (differentiable through the normaliser)
-        norm = jnp.mean(psi2) + 1e-30
+        norm = ar(jnp.sum(psi2)) / n + 1e-30
         l_pde = l_pde / norm
         l_bc = l_bc / norm
     l_tot = lam_pde * l_pde + lam_bc * l_bc
@@ -65,8 +84,9 @@ def loss_fn(params: dict, cfg: Config, batch: Batch,
                          params)
         corr = s.v[..., 0] - lc
         l_tot = l_tot + cfg.train.correction_reg * (
-            jnp.mean(corr ** 2) / (jnp.mean(lc ** 2) + 1e-30))
-    return l_tot, LossAux(l_pde, l_bc, e[-1], jnp.mean(e))
+            (ar(jnp.sum(corr ** 2)) / n)
+            / (ar(jnp.sum(lc ** 2)) / n + 1e-30))
+    return l_tot, LossAux(l_pde, l_bc, e[-1], ar(jnp.sum(e)) / n)
 
 
 def loss_and_grad(params: dict, cfg: Config, batch: Batch):

@@ -44,8 +44,10 @@ def test_exact_resume_from_state(tmp_path, capsys):
                   "--n-train", "256", "--dtype", "float64"])
     assert os.path.exists(os.path.join(out1, "state.npz"))
     out2 = str(tmp_path / "s2")
+    # --epochs is the TOTAL schedule length: resuming a run checkpointed at
+    # step s with --epochs 40 trains the remaining 40 - s steps
     last = _run(capsys, ["train", "--out", out2, "--resume",
-                         os.path.join(out1, "state.npz"), "--epochs", "10",
+                         os.path.join(out1, "state.npz"), "--epochs", "40",
                          "--n-train", "256", "--dtype", "float64"])
     rec = json.loads(last)
     # a warm resume starts orders of magnitude below a cold start

@@ -88,6 +88,25 @@ def test_resample_schedule_freezes_points():
         np.testing.assert_array_equal(xs[t], xs[t + 1])  # frozen late
 
 
+def test_resume_runs_only_remaining_steps():
+    """epochs is the TOTAL schedule: resuming from step s runs epochs - s
+    more steps, and a finished run resumes to zero steps (no frozen-batch
+    overfit re-run)."""
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, epochs=20, n_train=256,
+                                       scan_chunk=7))
+    res = engine.train(cfg)
+    assert len(res.history["Ltot"]) == 20
+    resumed = engine.train(cfg, params=res.params, start_step=15)
+    assert len(resumed.history["Ltot"]) == 5
+    assert int(resumed.state.step) == 20
+    done = engine.train(cfg, params=res.params, start_step=20)
+    assert len(done.history["Ltot"]) == 0
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), done.params, res.params)
+
+
 def test_eout_bias_init():
     cfg = pqs.Config()
     p = ansatz.init_params(jax.random.PRNGKey(0), cfg.model, jnp.float64)

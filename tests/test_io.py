@@ -93,3 +93,20 @@ def test_state_dict_mapping_roundtrip():
     for k in p:
         np.testing.assert_array_equal(np.asarray(p[k]["w"]), q[k]["w"])
         np.testing.assert_array_equal(np.asarray(p[k]["b"]), q[k]["b"])
+
+
+def test_pt_reader_rejects_arbitrary_code(tmp_path):
+    """The restricted unpickler must refuse non-allowlisted globals instead of
+    falling through to the unrestricted default (arbitrary code execution)."""
+    import pickle
+    import zipfile
+
+    # GLOBAL builtins.print + REDUCE — a stand-in for an os.system payload
+    # that stays harmless even if the guard under test were broken
+    payload = (b"\x80\x02cbuiltins\nprint\nq\x00X\x04\x00\x00\x00echoq\x01"
+               b"\x85q\x02Rq\x03.")
+    path = str(tmp_path / "evil.pt")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", payload)
+    with pytest.raises(pickle.UnpicklingError, match="allowlist"):
+        torch_pt.load(path)

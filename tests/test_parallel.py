@@ -96,3 +96,55 @@ def test_shardmap_matches_pjit_gradients():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-14),
         s1.params, s2.params)
+
+
+@pytest.mark.parametrize("mode", ["scale_invariant", "lcao_weight",
+                                  "correction_reg", "all"])
+def test_shardmap_full_loss_modes_match_single_device(mode):
+    """Every loss mode (global-normaliser ones included) on the explicit
+    shard_map path == the single-device step, from identical state+batch."""
+    cfg = _cfg()
+    tr = dict(resample_frac=0.0)
+    if mode in ("scale_invariant", "all"):
+        tr["scale_invariant"] = True
+    if mode in ("lcao_weight", "all"):
+        tr["residual_weight"] = "lcao"
+    if mode in ("correction_reg", "all"):
+        tr["correction_reg"] = 0.1
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, **tr))
+    m = pmesh.make_mesh(8)
+    opt = engine.make_optimizer(cfg)
+    state = engine.init_state(jax.random.PRNGKey(0), cfg, opt)
+    state = state._replace(step=jnp.ones((), jnp.int32))  # frozen batch
+
+    single = jax.jit(engine.make_step(cfg, opt))
+    s1, h1 = single(state, None)
+
+    sm_step, _ = pmesh.make_shardmap_step(cfg, opt, m)
+    s2, h2 = jax.jit(sm_step)(pmesh.shard_state(state, m), None)
+
+    np.testing.assert_allclose(float(h1.l_tot), float(h2.l_tot), rtol=1e-10)
+    np.testing.assert_allclose(float(h1.l_pde), float(h2.l_pde), rtol=1e-10)
+    np.testing.assert_allclose(float(h1.l_bc), float(h2.l_bc), rtol=1e-10)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-14),
+        s1.params, s2.params)
+
+
+def test_shardmap_e_last_is_global_last_point():
+    """History.energy must be E of the GLOBAL last batch point — identical to
+    the single-device history, not some undefined per-device value."""
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, resample_frac=0.0))
+    m = pmesh.make_mesh(8)
+    opt = engine.make_optimizer(cfg)
+    state = engine.init_state(jax.random.PRNGKey(0), cfg, opt)
+    state = state._replace(step=jnp.ones((), jnp.int32))
+    sm_step, _ = pmesh.make_shardmap_step(cfg, opt, m)
+    s2, h2 = jax.jit(sm_step)(pmesh.shard_state(state, m), None)
+    from pinn_for_quantum_wavefunction_surfaces_tpu.models import ansatz
+    e_expected = float(ansatz.energy(state.params,
+                                     state.batch.r[-1:])[0])
+    np.testing.assert_allclose(float(h2.energy), e_expected, rtol=1e-12)

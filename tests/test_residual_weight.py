@@ -48,13 +48,19 @@ def test_weighted_training_runs():
     assert res.history["Ltot"][-1] < res.history["Ltot"][0]
 
 
-def test_shardmap_rejects_weighting():
+def test_shardmap_supports_weighting():
+    """The explicit shard_map path now runs the weighted loss (global
+    normaliser psum'd) — full-mode equivalence is in test_parallel.py."""
     import pytest
     from pinn_for_quantum_wavefunction_surfaces_tpu.parallel import mesh as pm
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple devices")
     cfg = _weighted_cfg()
     from pinn_for_quantum_wavefunction_surfaces_tpu.training import engine
-    with pytest.raises(NotImplementedError):
-        pm.make_shardmap_step(cfg, engine.make_optimizer(cfg),
-                              pm.make_mesh(2))
+    import numpy as np
+    opt = engine.make_optimizer(cfg)
+    step, _ = pm.make_shardmap_step(cfg, opt, pm.make_mesh(2))
+    state = pm.shard_state(
+        engine.init_state(jax.random.PRNGKey(0), cfg, opt), pm.make_mesh(2))
+    _, h = jax.jit(step)(state, None)
+    assert np.isfinite(float(h.l_tot))
