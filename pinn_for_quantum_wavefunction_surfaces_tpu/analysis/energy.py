@@ -304,6 +304,31 @@ WIND_E = np.array([
 ])
 
 
-def exact_energy(r_values) -> np.ndarray:
-    """Interpolate the Wind table at the given half-distances."""
-    return np.interp(np.asarray(r_values), WIND_R, WIND_E)
+def exact_energy(r_values, oracle: str = "wind") -> np.ndarray:
+    """Exact electronic E(R) at the given half-distances.
+
+    ``oracle="wind"``: interpolate the 4-decimal Wind table (the reference's
+    ruler — +-0.05 mHa rounding). ``oracle="ode"``: solve the separated
+    prolate-spheroidal problem to ~1e-11 Ha (analysis/exact.py) — the ruler
+    for sub-0.1 mHa claims; the Wind interpolant seeds each bracket.
+    """
+    r = np.asarray(r_values, np.float64)
+    wind = np.interp(r, WIND_R, WIND_E)
+    if oracle == "wind":
+        return wind
+    if oracle != "ode":
+        raise ValueError(f"unknown oracle {oracle!r}")
+    from .exact import exact_surface
+    in_table = (r >= WIND_R[0]) & (r <= WIND_R[-1])
+    return exact_surface(r, "1ssg",
+                         guesses=np.where(in_table, wind, np.nan))
+
+
+def exact_energy_ode(r_values, state: str = "1ssg") -> np.ndarray:
+    """Sub-microhartree exact E_el(R) (incl. the ungerade 2p sigma_u state,
+    which the Wind table does not cover)."""
+    from .exact import exact_surface
+    r = np.asarray(r_values, np.float64)
+    if state == "1ssg":
+        return exact_energy(r, oracle="ode")
+    return exact_surface(r, state)

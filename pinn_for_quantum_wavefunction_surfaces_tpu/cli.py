@@ -241,9 +241,10 @@ def cmd_energy(args) -> None:
                        progress=lambda i, n, ri: print(
                            f"R={ri:.1f} ({i + 1}/{n})", file=sys.stderr))
     aen.save_surface(args.out, surf)
-    exact = aen.exact_energy(surf["R"])
+    exact = aen.exact_energy(surf["R"], oracle=args.oracle)
     err = 1e3 * np.abs(surf["E_net"] - exact)
     print(json.dumps({"surface": args.out,
+                      "oracle": args.oracle,
                       "max_err_mHa": round(float(err.max()), 3),
                       "mean_err_mHa": round(float(err.mean()), 3)}))
     if args.figure:
@@ -346,11 +347,12 @@ def cmd_evaluate(args) -> None:
     surf = aen.surface(new_params, cfg, n=args.n_test, lcao=False,
                        grid="spheroidal")
     aen.save_surface(os.path.join(out_dir, "energy_eval.pkl"), surf)
-    exact = aen.exact_energy(surf["R"])
+    exact = aen.exact_energy(surf["R"], oracle=args.oracle)
     err = 1e3 * np.abs(surf["E_net"] - exact)
     sel = surf["R"] >= 0.5
     print(json.dumps({
         "checkpoint": args.checkpoint,
+        "oracle": args.oracle,
         "fit_rms_mHa": round(1e3 * info["fit_rms"], 3),
         "mean_err_mHa": round(float(err.mean()), 3),
         "max_err_mHa": round(float(err.max()), 3),
@@ -434,6 +436,9 @@ def main(argv=None) -> None:
                    help="adapted = nucleus-clustered Cartesian nodes; "
                         "spheroidal = prolate-spheroidal Gauss quadrature "
                         "(machine precision for this problem)")
+    p.add_argument("--oracle", default="wind", choices=["wind", "ode"],
+                   help="error ruler: the reference's 4-decimal Wind table "
+                        "(parity) or the in-repo exact ODE solver (~1e-11)")
     p.add_argument("--figure", help="also write the surface figure here")
     p.set_defaults(fn=cmd_energy)
 
@@ -474,6 +479,9 @@ def main(argv=None) -> None:
     p.add_argument("--out")
     p.add_argument("--n-test", type=int, default=80, dest="n_test")
     p.add_argument("--steps", type=int, default=4000)
+    p.add_argument("--oracle", default="ode", choices=["wind", "ode"],
+                   help="error ruler (default: the exact ODE solver — the "
+                        "honest ruler for sub-0.1 mHa claims)")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("sweep", help="per-R multi-model family (legacy mode)")
