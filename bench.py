@@ -58,13 +58,59 @@ def measure_ours(n: int, steps: int, dtype: str) -> dict:
     sync(hist.l_tot[-1])
     dt = time.perf_counter() - t0
     dev = jax.devices()[0]
+    # roofline: prefer the compiler's own FLOP count for the whole scan
+    # executable; fall back to the analytic estimate
+    flops_per_point, flops_src = None, "none"
+    try:
+        ca = chunk.lower(state, steps).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca and ca.get("flops"):
+            flops_per_point = float(ca["flops"]) / (n * steps)
+            flops_src = "xla_cost_analysis"
+    except Exception:
+        pass
+    if flops_per_point is None:
+        flops_per_point = analytic_flops_per_point(cfg)
+        flops_src = "analytic"
     return {
         "points_per_sec": n * steps / dt,
         "steps_per_sec": steps / dt,
         "n": n, "steps": steps, "dtype": dtype,
         "device": f"{dev.platform}:{dev.device_kind}",
         "final_loss": float(hist.l_tot[-1]),
+        "flops_per_point": flops_per_point,
+        "flops_source": flops_src,
     }
+
+
+def analytic_flops_per_point(cfg) -> float:
+    """Analytic FLOPs per collocation point for one fused TRAIN step
+    (forward-Laplacian pass + reverse-mode backward ~ 2x forward + Adam).
+
+    Forward counts (symmetric arch, width H, E-head He, gate Hg), per point:
+    4 orbital envelopes ~30 each; correction MLP propagating the
+    (v, gx, gy, gz, l) 5-tuple through 2->H->H->1 twice (mirrored branch);
+    R-heads; residual/loss assembly. Multiply-add counted as 2 FLOPs.
+    """
+    h = cfg.model.hidden
+    he, hg = cfg.model.hidden_e, cfg.model.hidden_gate
+    env = 4 * 30
+    layer1 = 2 * h * 46            # 2 branches: per-unit 5-comp FMA + sig123
+    layer2 = 2 * h * (10 * h + 26)
+    out = 2 * 10 * h
+    gate = hg * 8
+    ehead = he * 6 + 2 * he * he + 2 * he
+    fwd = env + layer1 + layer2 + out + gate + ehead + 30
+    return 3.0 * fwd + 18.0        # bwd ~ 2x fwd; Adam ~ 18 flops/param<<n
+
+
+# Estimated peak FLOP/s for the roofline denominator. This width-16 model is
+# VPU-bound (elementwise chains on (8,128) vregs; the MXU is idle), so the
+# relevant ceiling is the VECTOR unit: ~1024 lanes x 2 (FMA) x ~1.7 GHz
+# ~ 3.5e12 f32 FLOP/s on a v5e core (estimate — the public spec sheet only
+# quotes MXU peaks: 197e12 bf16 / 394e12 int8). Override with BENCH_PEAK_FLOPS.
+PEAK_FLOPS_F32_VPU = float(os.environ.get("BENCH_PEAK_FLOPS", 3.5e12))
 
 
 def measure_torch_baseline(n: int = 10_000, steps: int = 3) -> dict:
@@ -152,11 +198,20 @@ def main() -> None:
 
     vs = (ours["points_per_sec"] / baseline["points_per_sec"]
           if baseline else 1.0)
+    achieved = ours["points_per_sec"] * ours["flops_per_point"]
     print(json.dumps({
         "metric": "collocation_points_per_sec",
         "value": round(ours["points_per_sec"], 1),
         "unit": "points/s",
         "vs_baseline": round(vs, 2),
+        # roofline: this width-16 model is VPU-bound (see RESULTS.md);
+        # peak_fraction is vs the ESTIMATED v5e f32 VPU peak (env
+        # BENCH_PEAK_FLOPS to override), not the headline MXU number
+        "flops_per_point": round(ours["flops_per_point"], 1),
+        "flops_source": ours["flops_source"],
+        "achieved_gflops": round(achieved / 1e9, 2),
+        "peak_fraction": round(achieved / PEAK_FLOPS_F32_VPU, 4),
+        "kernel": ours.get("kernel", "xla"),
     }))
 
 

@@ -171,6 +171,171 @@ def dispersion_figure(sweep_out: dict, path: str = "figures/dispersion.pdf",
     return _save(fig, path)
 
 
+def paper_grid_figure(params, cfg: Config, surf: dict,
+                      path: str = "figures/fig2.pdf",
+                      cut_rs=(4.0, 3.0, 2.0, 1.0)) -> str:
+    """The paper's headline composite (reference fig2.pdf,
+    poc/main.py:1174-1260): left column PES + error + gate, right column
+    normalised psi cuts at R = 4, 3, 2, 1."""
+    import jax.numpy as jnp
+    r = np.asarray(surf["R"])
+    exact = aen.exact_energy(r)
+    rr = np.linspace(cfg.domain.r_lo, cfg.domain.r_hi, 400)
+    e_net_curve = np.asarray(ansatz.energy(params, jnp.asarray(rr)))
+    fig = plt.figure(figsize=(18, 10))
+    ax1 = plt.subplot2grid((4, 4), (0, 0), colspan=2, rowspan=2)
+    plt.tick_params("x", labelbottom=False)
+    ax1.plot(r, exact + 0.5 / r, "k.", label="Ground truth")
+    if np.any(surf.get("Elcao", 0)):
+        ax1.plot(r, surf["Elcao"] + 0.5 / r, "*m", label="LCAO")
+    ax1.plot(r, surf["E_int"] + 0.5 / r, "go", fillstyle="none",
+             label=r"$\langle\psi|\hat H|\psi\rangle$")
+    ax1.plot(rr, e_net_curve + 0.5 / rr, "b-", label="Neural E")
+    ax1.legend(frameon=False)
+    ax1.set_ylabel("Energy (AU)")
+    ax2 = plt.subplot2grid((4, 4), (2, 0), colspan=2, sharex=ax1)
+    plt.tick_params("x", labelbottom=False)
+    ax2.plot(r, surf["E_int"] - exact, "go", fillstyle="none")
+    if np.any(surf.get("Elcao", 0)):
+        ax2.plot(r, surf["Elcao"] - exact, "*m")
+    ax2.plot(r, surf["E_net"] - exact, "b")
+    ax2.axhline(0, c="k", ls="--", alpha=0.9)
+    ax2.set_ylabel("Error (AU)")
+    ax3 = plt.subplot2grid((4, 4), (3, 0), colspan=2, sharex=ax1)
+    rg, gate = probes.gate_curve(params, cfg)
+    ax3.plot(rg, gate, "c")
+    ax3.set_ylabel("Gate")
+    ax3.set_xlabel("$R/2$")
+    ax_top = None
+    for i, ri in enumerate(cut_rs):
+        axp = plt.subplot2grid((4, 4), (i, 2), colspan=2,
+                               sharex=ax_top)
+        ax_top = ax_top or axp
+        xs, p, pl_ = probes.psi_cut_x_norm(params, cfg, float(ri))
+        axp.plot(xs, p, "b", label=r"Neural $\psi$")
+        axp.plot(xs, pl_, "--m", label="LCAO")
+        for s in (-ri, ri):
+            axp.axvline(s, c="k", ls=":", alpha=0.9)
+        axp.set_yticks([])
+        if i == len(cut_rs) - 1:
+            axp.legend(frameon=False)
+            axp.set_xlabel("$x$")
+        else:
+            axp.tick_params("x", labelbottom=False)
+    fig.text(0.54, 0.5, "Normalized Wavefunctions", ha="center",
+             va="center", rotation="vertical")
+    fig.tight_layout()
+    return _save(fig, path)
+
+
+def psi_two_panel_figure(params, cfg: Config,
+                         path: str = "figures/fig3.pdf",
+                         cut_rs=(2.0, 1.0)) -> str:
+    """Two stacked normalised psi cuts (reference fig3.pdf,
+    poc/main.py:1100-1160)."""
+    fig = plt.figure(figsize=(10, 8))
+    ax0 = None
+    for i, ri in enumerate(cut_rs):
+        ax = plt.subplot(len(cut_rs), 1, i + 1, sharex=ax0)
+        ax0 = ax0 or ax
+        xs, p, pl_ = probes.psi_cut_x_norm(params, cfg, float(ri))
+        ax.plot(xs, p, "b", label=r"Neural $\psi$")
+        ax.plot(xs, pl_, "--m", label="LCAO")
+        for s in (-ri, ri):
+            ax.axvline(s, c="k", ls=":", alpha=0.9)
+        ax.set_yticks([])
+        if i == len(cut_rs) - 1:
+            ax.legend(frameon=False)
+            ax.set_xlabel("$x$")
+        else:
+            ax.tick_params("x", labelbottom=False)
+    fig.text(0.02, 0.5, "Normalized Wavefunctions", ha="center",
+             va="center", rotation="vertical")
+    fig.tight_layout()
+    return _save(fig, path)
+
+
+def paper_psi_surface_figure(params, cfg: Config, ri: float,
+                             path: str, n: int = 100,
+                             half_width: float = 5.0) -> str:
+    """Frameless 3-D psi(x, y, 0) surface in the reference's style
+    (fig_R{1,2,3}.pdf, poc/main.py:1263-1306)."""
+    import jax.numpy as jnp
+    from matplotlib import cm
+    ax_pts = np.linspace(-half_width, half_width, n)
+    xg, yg = np.meshgrid(ax_pts, ax_pts, indexing="ij")
+    z = np.zeros_like(xg.ravel())
+    psi, _ = ansatz.psi(params, cfg.model, jnp.asarray(xg.ravel()),
+                        jnp.asarray(yg.ravel()), jnp.asarray(z),
+                        jnp.full_like(jnp.asarray(z), ri))
+    psi = np.asarray(psi).reshape(n, n)
+    fig, ax3 = plt.subplots(1, subplot_kw={"projection": "3d"},
+                            figsize=[10, 10])
+    ax3.plot_surface(xg, yg, psi, cmap=cm.coolwarm, antialiased=True,
+                     linewidth=0, shade=False, edgecolor="none")
+    ax3.set_xlabel("$x$")
+    ax3.set_ylabel("$y$")
+    ax3.set_xticks([]); ax3.set_yticks([]); ax3.set_zticks([])
+    ax3.view_init(30, 60)
+    ax3.axis("off")
+    return _save(fig, path)
+
+
+def loss_figure_pdf(history: dict, path: str = "figures/loss_figure.pdf",
+                    opt_epoch: int | None = None) -> str:
+    """Single-panel log-loss curves with the optimal-epoch marker
+    (reference loss_figure.pdf, poc/main.py:1040-1062)."""
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.plot(history["Ltot"], label="Total", lw=2)
+    ax.plot(history["Lpde"], label="PDE", lw=1)
+    ax.plot(history["Lbc"], label="BCs", lw=1)
+    if opt_epoch is not None:
+        ax.axvline(opt_epoch, c="r", ls="--", alpha=0.9)
+    ax.set_yscale("log")
+    ax.set_ylabel("Loss")
+    ax.set_xlabel("Training Iterations")
+    ax.legend(frameon=False)
+    fig.tight_layout()
+    return _save(fig, path)
+
+
+# The reference's complete named figure output (shipped in poc/: fig2/3/4,
+# fig_R1/2/3, loss_figure.pdf; plus energy.py/plot.py's pngs)
+PAPER_SET_NAMES = ("fig2.pdf", "fig3.pdf", "fig4.pdf", "fig_R1.pdf",
+                   "fig_R2.pdf", "fig_R3.pdf", "loss_figure.pdf",
+                   "energy.png", "R1.png", "R2.png", "R1e.png", "R2e.png")
+
+
+def paper_set(params, cfg: Config, outdir: str, surf: dict | None = None,
+              history: dict | None = None, n_test: int = 80,
+              grid: str = "spheroidal", opt_epoch: int | None = None,
+              hf_points: int = 9) -> list[str]:
+    """Emit the reference's EXACT named figure set from one checkpoint
+    (``cli analyze --paper-set``): fig2/3/4.pdf, fig_R1/2/3.pdf,
+    loss_figure.pdf (when a history is given), energy.png, R{1,2}{,e}.png.
+    Returns the list of written paths."""
+    if surf is None:
+        surf = aen.surface(params, cfg, n=n_test, lcao=True, grid=grid)
+    j = lambda name: os.path.join(outdir, name)
+    paths = [
+        paper_grid_figure(params, cfg, surf, j("fig2.pdf")),
+        psi_two_panel_figure(params, cfg, j("fig3.pdf")),
+        forces_figure(params, cfg, path=j("fig4.pdf"), hf_points=hf_points),
+        paper_psi_surface_figure(params, cfg, 1.0, j("fig_R1.pdf")),
+        paper_psi_surface_figure(params, cfg, 2.0, j("fig_R2.pdf")),
+        paper_psi_surface_figure(params, cfg, 3.0, j("fig_R3.pdf")),
+        energy_curve_figure(params, cfg, j("energy.png")),
+        psi_cut_figure(params, cfg, 1.0, j("R1.png")),
+        psi_cut_figure(params, cfg, 2.0, j("R2.png")),
+        psi_cut_figure(params, cfg, 1.0, j("R1e.png"), diff=True),
+        psi_cut_figure(params, cfg, 2.0, j("R2e.png"), diff=True),
+    ]
+    if history is not None:
+        paths.append(loss_figure_pdf(history, j("loss_figure.pdf"),
+                                     opt_epoch))
+    return paths
+
+
 def forces_figure(params, cfg: Config, r_values=None,
                   path: str = "figures/forces.pdf",
                   hf_points: int = 9) -> str:

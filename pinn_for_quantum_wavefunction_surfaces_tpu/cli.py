@@ -259,6 +259,16 @@ def cmd_analyze(args) -> None:
     params = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
               for k, v in params.items()}
     outdir = args.out
+    if args.paper_set:
+        hist = None
+        if args.history:
+            with open(args.history, "rb") as f:
+                hist = pickle.load(f)
+        paths = plots.paper_set(params, cfg, outdir, history=hist,
+                                n_test=args.n_test, grid=args.grid,
+                                hf_points=args.hf_points)
+        print(json.dumps({"figures": paths}))
+        return
     paths = [plots.energy_curve_figure(params, cfg,
                                        os.path.join(outdir, "energy.png")),
              plots.gate_figure(params, cfg, os.path.join(outdir, "gate.pdf"))]
@@ -449,6 +459,15 @@ def main(argv=None) -> None:
     p.add_argument("--r-cuts", type=float, nargs="*", default=[1.0, 2.0])
     p.add_argument("--forces", action="store_true")
     p.add_argument("--history", help="history.pkl for the loss figure")
+    p.add_argument("--paper-set", action="store_true", dest="paper_set",
+                   help="emit the reference's exact named figure set "
+                        "(fig2/3/4.pdf, fig_R1/2/3.pdf, loss_figure.pdf, "
+                        "energy.png, R{1,2}{,e}.png)")
+    p.add_argument("--n-test", type=int, default=80, dest="n_test")
+    p.add_argument("--grid", default="spheroidal",
+                   choices=["uniform", "adapted", "spheroidal"])
+    p.add_argument("--hf-points", type=int, default=9, dest="hf_points",
+                   help="Hellmann-Feynman sample count in the force panel")
     p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("distill",

@@ -131,6 +131,15 @@ class TrainConfig:
     betas: tuple = (0.9, 0.999)
     eps: float = 1e-8
     scan_chunk: int = 250        # steps per jitted lax.scan chunk (host io boundary)
+    # Residual evaluation kernel for the training hot path. "xla" = the
+    # fused forward-Laplacian pass under XLA autodiff; "pallas" = the
+    # hand-fused Pallas train kernel with custom VJP (ops/pallas_train.py) —
+    # symmetric-arch models incl. the alpha/GZ flagship, float32.
+    kernel: str = "xla"          # "xla" | "pallas"
+
+    def __post_init__(self):
+        if self.kernel not in ("xla", "pallas"):
+            raise ValueError(f"unknown kernel {self.kernel!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -48,11 +48,19 @@ def loss_fn(params: dict, cfg: Config, batch: Batch,
     point's E under shard_map; the caller selects the global one.
     """
     ar = (lambda v: v) if allreduce is None else allreduce
-    s, e = ansatz.psi_fwdlap(params, cfg.model, batch.x, batch.y, batch.z,
-                             batch.r)
+    if cfg.train.kernel == "pallas":
+        # fused Pallas train kernel (custom VJP); interpret mode on CPU so
+        # the same config runs in tests and on the virtual mesh
+        from ..ops.pallas_train import psi_lap_train
+        psi_v, lap_v, e = psi_lap_train(
+            params, cfg.model, batch.x, batch.y, batch.z, batch.r,
+            interpret=jax.default_backend() == "cpu")
+    else:
+        s, e = ansatz.psi_fwdlap(params, cfg.model, batch.x, batch.y,
+                                 batch.z, batch.r)
+        psi_v, lap_v = s.v[..., 0], s.l[..., 0]
     res = operators.RESIDUALS[cfg.convention](
-        cfg.model, batch.x, batch.y, batch.z, batch.r, s.v[..., 0],
-        s.l[..., 0], e)
+        cfg.model, batch.x, batch.y, batch.z, batch.r, psi_v, lap_v, e)
     n = ar(jnp.asarray(res.shape[0], res.dtype))  # global point count
     if cfg.train.residual_weight == "lcao":
         # local-energy-variance weighting: |(H-E)psi|^2 weighted by the
@@ -65,7 +73,7 @@ def loss_fn(params: dict, cfg: Config, batch: Batch,
         l_pde = ar(jnp.sum(res ** 2 * weight)) / n
     else:
         l_pde = ar(jnp.sum(res ** 2)) / n
-    psi2 = s.v[..., 0] ** 2
+    psi2 = psi_v ** 2
 
     def bc_mean(mask):
         count = jnp.maximum(ar(jnp.sum(mask)), 1)
@@ -82,7 +90,7 @@ def loss_fn(params: dict, cfg: Config, batch: Batch,
     if cfg.train.correction_reg > 0.0:
         lc = ansatz.lcao(cfg.model, batch.x, batch.y, batch.z, batch.r,
                          params)
-        corr = s.v[..., 0] - lc
+        corr = psi_v - lc
         l_tot = l_tot + cfg.train.correction_reg * (
             (ar(jnp.sum(corr ** 2)) / n)
             / (ar(jnp.sum(lc ** 2)) / n + 1e-30))

@@ -57,3 +57,23 @@ def test_exact_resume_from_state(tmp_path, capsys):
 def test_bad_checkpoint_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         cli.main(["energy", str(tmp_path / "missing.npz")])
+
+
+def test_analyze_paper_set(tmp_path, capsys):
+    """--paper-set must emit the reference's EXACT named figure list
+    (fig2/3/4.pdf, fig_R1/2/3.pdf, loss_figure.pdf, energy.png,
+    R{1,2}{,e}.png — the files shipped in reference poc/)."""
+    out1 = str(tmp_path / "run")
+    _run(capsys, ["train", "--out", out1, "--epochs", "10",
+                  "--n-train", "256", "--dtype", "float64"])
+    figs = str(tmp_path / "figs")
+    last = _run(capsys, ["analyze", os.path.join(out1, "best.npz"),
+                         "--out", figs, "--paper-set", "--n-test", "16",
+                         "--hf-points", "2", "--dtype", "float64",
+                         "--history", os.path.join(out1, "history.pkl")])
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis.plots import \
+        PAPER_SET_NAMES
+    produced = set(json.loads(last)["figures"])
+    for name in PAPER_SET_NAMES:
+        path = os.path.join(figs, name)
+        assert path in produced and os.path.exists(path), name
