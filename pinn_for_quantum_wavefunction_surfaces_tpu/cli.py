@@ -47,7 +47,8 @@ def _build_cfg(args) -> "object":
                              ("scale_invariant",
                               getattr(args, "scale_invariant", None) or None),
                              ("correction_reg",
-                              getattr(args, "correction_reg", None)))
+                              getattr(args, "correction_reg", None)),
+                             ("kernel", getattr(args, "kernel", None)))
            if v is not None})
     domain = cfg.domain
     if getattr(args, "fixed_r", None) is not None:
@@ -80,6 +81,10 @@ def _load_params(path: str):
 
 
 def _add_common(p, train=False):
+    p.add_argument("--kernel", choices=["xla", "pallas"],
+                   help="residual kernel for the train step: XLA fwdlap "
+                        "autodiff (default) or the fused Pallas custom-VJP "
+                        "kernel (symmetric family, f32)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64", "bfloat16"])
     p.add_argument("--state", default="gerade",

@@ -39,7 +39,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SUB, _LANE = 8, 128
+import os
+
+# Points per grid step: 8 sublanes x 128 lanes x _ROWS vregs. Larger tiles
+# amortise per-grid-step overhead (weight reloads, output DMAs) at the cost
+# of live-state; 32x128 measured best for the backward kernel.
+_SUB = int(os.environ.get("PALLAS_TRAIN_SUB", 32))
+_LANE = 128
 _TILE = _SUB * _LANE
 
 
@@ -51,13 +57,20 @@ def _sigmoid123(v):
 
 
 def _envelope(dx, dy, dz, a):
-    """(v, gx, gy, gz, lap) of exp(-a r) for displacement (dx, dy, dz);
-    a is a per-point spatial constant (alpha(R))."""
+    """Stacked (v, gx, gy, gz, lap) of exp(-a r) for displacement
+    (dx, dy, dz); a is a per-point spatial constant (alpha(R)).
+
+    The 5 derivative components ride as the LEADING (untiled) axis of one
+    (5, S, L) array so that every weight scalar downstream multiplies ONE
+    tensor: jax.vjp transposes each broadcast-use into a full-tile lane
+    reduction, so one-use-per-weight is the difference between ~256 and
+    ~2500 reduces per tile in the backward kernel (measured 10x)."""
     r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     inv_r = 1.0 / r
     f = jnp.exp(-a * r)
     s = -a * f * inv_r
-    return f, s * dx, s * dy, s * dz, f * (a * a - 2.0 * a * inv_r)
+    return jnp.stack([f, s * dx, s * dy, s * dz,
+                      f * (a * a - 2.0 * a * inv_r)])
 
 
 def _gz_value_lap(dx1, dy1, dz1, dx2, dy2, dz2, a, b):
@@ -75,35 +88,33 @@ def _gz_value_lap(dx1, dy1, dz1, dx2, dy2, dz2, a, b):
     return f, lap
 
 
+def _sig_propagate(lin, bias):
+    """Push a stacked (5, S, L) linear pre-activation through sigmoid via the
+    closed-form forward-Laplacian rules; returns the stacked activation."""
+    pre = lin[0] + bias
+    s, d1, d2 = _sigmoid123(pre)
+    gsq = lin[1] * lin[1] + lin[2] * lin[2] + lin[3] * lin[3]
+    return jnp.stack([s, d1 * lin[1], d1 * lin[2], d1 * lin[3],
+                      d1 * lin[4] + d2 * gsq])
+
+
 def _mlp_branch(h_w1, h_b1, h_w2, h_b2, o_w, f1, f2, hidden):
     """(v, lap) of o_w . sig(W2 sig(W1 [f1, f2] + b1) + b2), propagating the
-    (v, gx, gy, gz, l) triple through the closed-form layer rules, unrolled
-    over the width. f1/f2 are 5-tuples of (8, 128) blocks; biases (1, H)."""
-    a1 = []
-    for j in range(hidden):
-        pre = f1[0] * h_w1[0, j] + f2[0] * h_w1[1, j] + h_b1[0, j]
-        gx = f1[1] * h_w1[0, j] + f2[1] * h_w1[1, j]
-        gy = f1[2] * h_w1[0, j] + f2[2] * h_w1[1, j]
-        gz = f1[3] * h_w1[0, j] + f2[3] * h_w1[1, j]
-        l = f1[4] * h_w1[0, j] + f2[4] * h_w1[1, j]
-        s, d1, d2 = _sigmoid123(pre)
-        gsq = gx * gx + gy * gy + gz * gz
-        a1.append((s, d1 * gx, d1 * gy, d1 * gz, d1 * l + d2 * gsq))
+    stacked (v, gx, gy, gz, l) components through the closed-form layer
+    rules, unrolled over the width. f1/f2 are (5, S, L) stacks; biases
+    (1, H). Each weight scalar multiplies exactly ONE tensor (see
+    _envelope's note on the vjp-transpose cost)."""
+    a1 = [_sig_propagate(f1 * h_w1[0, j] + f2 * h_w1[1, j], h_b1[0, j])
+          for j in range(hidden)]
     out_v = out_l = 0.0
     for j in range(hidden):
-        pre = h_b2[0, j]
-        gx = gy = gz = l = 0.0
-        for i in range(hidden):
-            pre = pre + a1[i][0] * h_w2[i, j]
-            gx = gx + a1[i][1] * h_w2[i, j]
-            gy = gy + a1[i][2] * h_w2[i, j]
-            gz = gz + a1[i][3] * h_w2[i, j]
-            l = l + a1[i][4] * h_w2[i, j]
-        s, d1, d2 = _sigmoid123(pre)
-        gsq = gx * gx + gy * gy + gz * gz
+        lin = a1[0] * h_w2[0, j]
+        for i in range(1, hidden):
+            lin = lin + a1[i] * h_w2[i, j]
+        a2 = _sig_propagate(lin, h_b2[0, j])
         w = o_w[j, 0]
-        out_v = out_v + s * w
-        out_l = out_l + (d1 * l + d2 * gsq) * w
+        out_v = out_v + a2[0] * w
+        out_l = out_l + a2[4] * w
     return out_v, out_l
 
 
@@ -145,7 +156,7 @@ def _pad_points(arr, n_pad, value):
 
 @functools.lru_cache(maxsize=64)
 def make_fused_psi_lap(hidden: int, p_sym: int, ry: float, rz: float,
-                       interpret: bool = False):
+                       interpret: bool = False, point_grads: bool = True):
     """Build the custom-VJP fused (psi, lap) evaluator for the symmetric
     ansatz with the given static shape/symmetry.
 
@@ -154,15 +165,16 @@ def make_fused_psi_lap(hidden: int, p_sym: int, ry: float, rz: float,
               a (n,), b (n,), g (n,), x (n,), y (n,), z (n,), r (n,))
             -> (psi (n,), lap (n,))
     Differentiable in EVERY argument (point-coordinate cotangents included,
-    so force-through-batch style uses stay correct).
+    so force-through-batch style uses stay correct). With
+    ``point_grads=False`` the backward SKIPS the geometry chains and returns
+    zeros for (dx, dy, dz, dr) — only valid when the caller stop-gradients
+    the point coordinates (psi_lap_train does), where zero IS the exact
+    gradient.
     """
     core = functools.partial(_core, hidden=hidden, p_sym=p_sym, ry=ry, rz=rz)
     pt_spec = pl.BlockSpec((1, _SUB, _LANE), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    # weight-grad outputs: full array revisited every grid step (sequential
-    # accumulation — TPU grids execute in order)
-    acc_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     w_shapes = (( 2, hidden), (1, hidden), (hidden, hidden), (1, hidden),
                 (hidden, 1), (1, 1))
 
@@ -176,34 +188,40 @@ def make_fused_psi_lap(hidden: int, p_sym: int, ry: float, rz: float,
         psi_ref[0] = psi
         lap_ref[0] = lap
 
+    n_pt_outs = 7 if point_grads else 3
+
     def bwd_kernel(x_ref, y_ref, z_ref, r_ref, a_ref, b_ref, g_ref,
                    *rest):
         w_refs = rest[:6]
         dpsi_ref, dlap_ref = rest[6:8]
-        outs = rest[8:]  # dx, dy, dz, dr, da, db, dg, 6 weight grads
-        pt_outs, w_outs = outs[:7], outs[7:]
+        outs = rest[8:]  # [dx,dy,dz,dr,] da, db, dg, 6 PER-TILE weight grads
+        pt_outs, w_outs = outs[:n_pt_outs], outs[n_pt_outs:]
         weights = tuple(w[:] for w in w_refs)
         x, y, z, r = x_ref[0], y_ref[0], z_ref[0], r_ref[0]
 
-        def f(w, a_, b_, g_, x_, y_, z_, r_):
-            return core(w, a_, b_, g_, x_, y_, z_, r_)
+        def f(w, a_, b_, g_, *pt):
+            return core(w, a_, b_, g_, *((x, y, z, r) if not point_grads
+                                         else pt))
 
-        _, vjp = jax.vjp(f, weights, a_ref[0], b_ref[0], g_ref[0],
-                         x, y, z, r)
-        dw, da, db, dg, dx, dy, dz, dr = vjp((dpsi_ref[0], dlap_ref[0]))
-        for ref, val in zip(pt_outs, (dx, dy, dz, dr, da, db, dg)):
+        if point_grads:
+            _, vjp = jax.vjp(f, weights, a_ref[0], b_ref[0], g_ref[0],
+                             x, y, z, r)
+            dw, da, db, dg, dx, dy, dz, dr = vjp((dpsi_ref[0], dlap_ref[0]))
+            pt_vals = (dx, dy, dz, dr, da, db, dg)
+        else:
+            # geometry chains skipped: the caller stop-gradients the point
+            # coordinates, so their cotangents are exactly zero by contract
+            _, vjp = jax.vjp(f, weights, a_ref[0], b_ref[0], g_ref[0])
+            dw, da, db, dg = vjp((dpsi_ref[0], dlap_ref[0]))
+            pt_vals = (da, db, dg)
+        for ref, val in zip(pt_outs, pt_vals):
             ref[0] = val
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            for ref, val in zip(w_outs, dw):
-                ref[...] = val
-
-        @pl.when(i > 0)
-        def _():
-            for ref, val in zip(w_outs, dw):
-                ref[...] = ref[...] + val
+        # weight grads: write THIS tile's partial into its own slot —
+        # revisited-accumulator outputs round-trip VMEM<->HBM every grid
+        # step (measured 10x slower); the cross-tile sum is a trivial XLA
+        # reduction outside the kernel
+        for ref, val in zip(w_outs, dw):
+            ref[0] = val
 
     def run_fwd(h1w, h1b, h2w, h2b, ow, ob, a, b, g, x, y, z, r):
         n = x.shape[0]
@@ -242,24 +260,36 @@ def make_fused_psi_lap(hidden: int, p_sym: int, ry: float, rz: float,
         dcts = [_pad_points(v, n_pad, 0.0) for v in (dpsi, dlap)]
         ws = (h1w, h1b, h2w, h2b, ow, ob)
         pt_shape = jax.ShapeDtypeStruct(pts[0].shape, dtype)
+        n_tiles = n_pad // _TILE
         outs = pl.pallas_call(
             bwd_kernel,
-            grid=(n_pad // _TILE,),
+            grid=(n_tiles,),
             in_specs=[pt_spec] * 7 + [w_spec] * 6 + [pt_spec] * 2,
-            out_specs=[pt_spec] * 7 + [acc_spec] * 6,
-            out_shape=[pt_shape] * 7 + [
-                jax.ShapeDtypeStruct(s, dtype) for s in w_shapes],
+            out_specs=[pt_spec] * n_pt_outs + [
+                pl.BlockSpec((1,) + s, lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM) for s in w_shapes],
+            out_shape=[pt_shape] * n_pt_outs + [
+                jax.ShapeDtypeStruct((n_tiles,) + s, dtype)
+                for s in w_shapes],
             interpret=interpret,
         )(*pts, *abg, *ws, *dcts)
-        dx, dy, dz, dr, da, db, dg = (o.reshape(-1)[:n] for o in outs[:7])
-        dh1w, dh1b, dh2w, dh2b, dow, dob = outs[7:]
+        flat = [o.reshape(-1)[:n] for o in outs[:n_pt_outs]]
+        if point_grads:
+            dx, dy, dz, dr, da, db, dg = flat
+        else:
+            da, db, dg = flat
+            dx = dy = dz = dr = jnp.zeros_like(x)
+        # cross-tile sum of the per-tile partials (cheap XLA reduction)
+        dh1w, dh1b, dh2w, dh2b, dow, dob = (
+            o.sum(axis=0) for o in outs[n_pt_outs:])
         return (dh1w, dh1b, dh2w, dh2b, dow, dob, da, db, dg, dx, dy, dz, dr)
 
     fused.defvjp(fused_fwd, fused_bwd)
     return fused
 
 
-def psi_lap_train(params: dict, mcfg, x, y, z, r, interpret: bool = False):
+def psi_lap_train(params: dict, mcfg, x, y, z, r, interpret: bool = False,
+                  point_grads: bool = False):
     """(psi, lap, E) through the fused training kernel — a drop-in,
     fully differentiable replacement for the XLA ``ansatz.psi_fwdlap`` hot
     path. The R-only heads run (and autodiff) in XLA; the spatial network
@@ -268,6 +298,11 @@ def psi_lap_train(params: dict, mcfg, x, y, z, r, interpret: bool = False):
     Covers the whole symmetric family: fixed exponents, trainable alpha(R),
     and Guillemin-Zener b(R) (the flagship). Raises for the minimal arch and
     r-input models (XLA path covers those).
+
+    By default the point coordinates are STOP-GRADIENTED (training treats
+    the collocation batch as data) and the backward kernel skips their
+    geometry chains; pass ``point_grads=True`` to differentiate through
+    (x, y, z, r) as well (e.g. force-through-batch analyses).
     """
     from ..models import ansatz
 
@@ -278,6 +313,12 @@ def psi_lap_train(params: dict, mcfg, x, y, z, r, interpret: bool = False):
         raise NotImplementedError("r-input models use the XLA fwdlap path")
     hidden = params["h1"]["w"].shape[1]
     dtype = x.dtype
+    if not point_grads:
+        # zero point-cotangents in the fast kernel are exact BECAUSE of this
+        x, y, z = map(jax.lax.stop_gradient, (x, y, z))
+        r_pts = jax.lax.stop_gradient(r)
+    else:
+        r_pts = r
     e = ansatz.energy(params, r)
     g = ansatz.gate(params, r)
     if "alpha1" in params:
@@ -293,7 +334,8 @@ def psi_lap_train(params: dict, mcfg, x, y, z, r, interpret: bool = False):
     else:
         ob = jnp.zeros((1, 1), dtype)
     fused = make_fused_psi_lap(hidden, int(mcfg.inversion_symmetry),
-                               float(mcfg.ry), float(mcfg.rz), interpret)
+                               float(mcfg.ry), float(mcfg.rz), interpret,
+                               point_grads)
     psi, lap = fused(
         params["h1"]["w"].astype(dtype),
         params["h1"]["b"].reshape(1, -1).astype(dtype),
@@ -301,5 +343,5 @@ def psi_lap_train(params: dict, mcfg, x, y, z, r, interpret: bool = False):
         params["h2"]["b"].reshape(1, -1).astype(dtype),
         params["out"]["w"].astype(dtype),
         ob,
-        a.astype(dtype), b.astype(dtype), g.astype(dtype), x, y, z, r)
+        a.astype(dtype), b.astype(dtype), g.astype(dtype), x, y, z, r_pts)
     return psi, lap, e

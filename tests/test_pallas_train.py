@@ -85,13 +85,14 @@ def test_loss_gradients_match_xla(p_sym, gz, alpha):
 
 
 def test_point_cotangents_are_exact():
-    """The VJP covers the point coordinates too (not silently zero)."""
+    """With point_grads=True the VJP covers the point coordinates too; the
+    default fast path stop-gradients them (zero is then exact)."""
     mcfg, params = _model(1, True, True, hidden=4)
     x, y, z, r = _points(n=64)
 
     def f_pallas(x_):
         psi, lap, _ = psi_lap_train(params, mcfg, x_, y, z, r,
-                                    interpret=True)
+                                    interpret=True, point_grads=True)
         return jnp.sum(psi ** 2) + jnp.sum(lap)
 
     def f_xla(x_):

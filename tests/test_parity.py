@@ -88,3 +88,29 @@ def test_loss_history_artifacts():
     assert len(h["Ltot"]) == 5000
     assert abs(float(np.ravel(h["Ltot"])[-1]) - 7.42e-07) < 2e-8
     assert abs(float(np.min(h["Ltot"])) - 4.08e-07) < 2e-8
+
+
+def test_reference_checkpoint_adapted_grid_regression(shipped):
+    """Regression-pin the apples-to-apples scoring of the reference's
+    shipped fineTune psi on this framework's converged adapted grids vs the
+    exact ODE oracle (RESULTS.md 'Apples-to-apples' table). Tolerances are
+    windows around the measured values (n=64, float64):
+        R=0.2: +73.0 mHa   R=1.0: +10.4 mHa   R=2.0: +10.5 mHa
+        R=4.0:  +0.9 mHa   (errors are variational-positive)
+    """
+    import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import (
+        energy as aen, exact)
+    _, ref_params = shipped
+    params = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+              for k, v in ref_params.items()}
+    cfg = pqs.Config(dtype="float64")
+    rs = [0.2, 1.0, 2.0, 4.0]
+    surf = aen.surface(params, cfg, r_values=rs, n=64, grid="adapted",
+                       lcao=False)
+    expected = {0.2: 73.024, 1.0: 10.403, 2.0: 10.483, 4.0: 0.916}
+    for ri, e_int in zip(surf["R"], surf["E_int"]):
+        err_mha = 1e3 * (float(e_int)
+                         - exact.exact_electronic_energy(float(ri)))
+        assert err_mha > 0, (ri, err_mha)  # variational bound
+        assert abs(err_mha - expected[float(ri)]) < 0.05, (ri, err_mha)
