@@ -331,6 +331,7 @@ def cmd_variational(args) -> None:
     res = variational.train_variational(
         cfg, params=params, n_r=args.n_r, n_pts=args.n_pts,
         epochs=args.epochs or cfg.train.epochs, lr=args.lr,
+        antithetic=args.antithetic, stratified=args.stratified_r,
         log_cb=_log)
     checkpoint.save(os.path.join(args.out, "variational.npz"),
                     {"params": res.ema_params}, meta={})
@@ -494,6 +495,11 @@ def main(argv=None) -> None:
     p.add_argument("--n-pts", type=int, default=32768, dest="n_pts")
     p.add_argument("--lbfgs", type=int, default=0,
                    help="run N full-batch L-BFGS polish steps instead of Adam")
+    p.add_argument("--antithetic", action="store_true",
+                   help="pair every sample with its inversion image "
+                        "(exact odd-error cancellation in the quotient)")
+    p.add_argument("--stratified-r", action="store_true", dest="stratified_r",
+                   help="one R draw per stratum of the R range per step")
     p.set_defaults(fn=cmd_variational)
 
     p = sub.add_parser("evaluate",

@@ -48,17 +48,33 @@ class VBatch(NamedTuple):
 
 
 def sample_vbatch(key: jax.Array, cfg: Config, n_r: int, n_pts: int,
-                  dtype=None) -> VBatch:
+                  dtype=None, antithetic: bool = False,
+                  stratified: bool = False) -> VBatch:
+    """Draw the (R, points) batch for the quotient estimator.
+
+    Variance reduction (both exact — they change no expectation):
+    - ``stratified``: the n_r half-distances come one-per-stratum of the R
+      range instead of iid uniform — every step sees the whole surface.
+    - ``antithetic``: the shell component's radial draws come in
+      negatively-correlated Gamma(3) pairs (ops.sampling.sample_importance;
+      inversion pairing would be a no-op — the symmetrised ansatz makes the
+      integrands exactly inversion-even).
+    """
     kr, kp = jax.random.split(key)
     dtype = jnp.dtype(cfg.dtype) if dtype is None else jnp.dtype(dtype)
     dom = cfg.domain
     if dom.fixed_r is not None:
         r = jnp.full((n_r,), dom.fixed_r, dtype)
+    elif stratified:
+        u = jax.random.uniform(kr, (n_r,), dtype)
+        edges = (jnp.arange(n_r, dtype=dtype) + u) / n_r
+        r = dom.r_lo + (dom.r_hi - dom.r_lo) * edges
     else:
         r = jax.random.uniform(kr, (n_r,), dtype, dom.r_lo, dom.r_hi)
     keys = jax.random.split(kp, n_r)
     x, y, z, w = jax.vmap(
-        lambda k, ri: sample_importance(k, cfg, ri, n_pts, dtype))(keys, r)
+        lambda k, ri: sample_importance(k, cfg, ri, n_pts, dtype,
+                                        antithetic=antithetic))(keys, r)
     return VBatch(x, y, z, w, r)
 
 
@@ -146,6 +162,8 @@ def train_variational(cfg: Config,
                       lr: Optional[float] = None,
                       ema_decay: float = 0.999,
                       key: Optional[jax.Array] = None,
+                      antithetic: bool = False,
+                      stratified: bool = False,
                       log_cb=None) -> engine.TrainResult:
     """Variational training loop (scan-chunked like the residual engine).
 
@@ -172,7 +190,8 @@ def train_variational(cfg: Config,
 
     def step(state: VState, _):
         key, sub = jax.random.split(state.key)
-        vb = sample_vbatch(sub, cfg, n_r, n_pts)
+        vb = sample_vbatch(sub, cfg, n_r, n_pts, antithetic=antithetic,
+                           stratified=stratified)
         (l, aux), grads = jax.value_and_grad(quotient_loss, has_aux=True)(
             state.params, cfg, vb)
         updates, opt_state = optimizer.update(grads, state.opt_state,

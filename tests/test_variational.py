@@ -68,3 +68,66 @@ def test_variational_training_lowers_energy():
     assert np.isfinite(e).all()
     # moving toward the ground state (exact -0.796 electronic at R=2)
     assert np.mean(e[-20:]) < np.mean(e[:20])
+
+
+def test_antithetic_and_stratified_variance_reduction():
+    """Radial-antithetic pairing must leave the quotient unbiased while
+    cutting its variance (deterministic given the fixed keys); stratified R
+    covers each stratum exactly once."""
+    import numpy as np
+    from pinn_for_quantum_wavefunction_surfaces_tpu.models import ansatz
+    cfg = pqs.Config(dtype="float64")
+    params = ansatz.init_params(jax.random.PRNGKey(0), cfg.model, jnp.float64)
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, domain=dataclasses.replace(cfg.domain, fixed_r=1.0))
+
+    def estimate(key, antithetic):
+        vb = variational.sample_vbatch(key, cfg, n_r=1, n_pts=2048,
+                                       antithetic=antithetic)
+        _, aux = variational.quotient_loss(params, cfg, vb)
+        return float(aux["e_r"][0])
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 40)
+    plain = np.array([estimate(k, False) for k in keys])
+    anti = np.array([estimate(k, True) for k in keys])
+    # same estimand (the Rayleigh quotient of this psi at R=1)
+    assert abs(plain.mean() - anti.mean()) < 4 * plain.std() / np.sqrt(40)
+    # the spread must not degrade (the reduction itself is ~10-30% and
+    # within estimation noise at this batch size — the mechanism is
+    # asserted deterministically below)
+    assert anti.std() < 1.15 * plain.std()
+
+    # mechanism: paired radial draws are negatively correlated and pairs
+    # share their direction/nucleus (deterministic sampler property)
+    from pinn_for_quantum_wavefunction_surfaces_tpu.ops.sampling import \
+        radial as _radial
+    vb = variational.sample_vbatch(jax.random.PRNGKey(5), cfg, n_r=1,
+                                   n_pts=4096, antithetic=True)
+    n_f = int(cfg.domain.focus_frac * 4096) // 2 * 2
+    m = n_f // 2
+    r1, r2 = _radial(cfg.model, vb.x[0], vb.y[0], vb.z[0],
+                     jnp.full_like(vb.x[0], 1.0))
+    u = np.minimum(np.asarray(r1), np.asarray(r2))[:n_f]
+    corr = np.corrcoef(u[:m], u[m:2 * m])[0, 1]
+    assert corr < -0.3, corr
+
+    # stratified R: one draw per stratum, strictly increasing
+    cfg2 = pqs.Config(dtype="float64")
+    vb = variational.sample_vbatch(jax.random.PRNGKey(2), cfg2, n_r=8,
+                                   n_pts=64, stratified=True)
+    r = np.asarray(vb.r)
+    edges = np.linspace(cfg2.domain.r_lo, cfg2.domain.r_hi, 9)
+    assert ((r >= edges[:-1]) & (r <= edges[1:])).all()
+
+
+def test_antithetic_importance_weights_unbiased():
+    """Radial-antithetic importance weights still integrate a known function
+    (the weights/density contract is unchanged)."""
+    cfg = pqs.Config(dtype="float64")
+    x, y, z, w = sample_importance(jax.random.PRNGKey(3), cfg, 1.0, 200_000,
+                                   dtype=jnp.float64, antithetic=True)
+    f = jnp.exp(-(x ** 2 + y ** 2 + z ** 2) / 2.0)
+    est = float(jnp.sum(w * f)) / x.shape[0]
+    exact = float((2 * np.pi) ** 1.5)
+    assert abs(est - exact) / exact < 0.02
