@@ -321,12 +321,20 @@ def cmd_variational(args) -> None:
                   for k, v in params.items()}
     os.makedirs(args.out, exist_ok=True)
     if args.lbfgs:
-        polished = variational.polish_lbfgs(
-            params, cfg, n_r=args.n_r, n_pts=args.n_pts, steps=args.lbfgs,
-            log_cb=_log)
+        if args.spheroidal:
+            polished = variational.polish_spheroidal(
+                params, cfg, n_r=args.n_r, n_xi=args.n_xi, n_eta=args.n_eta,
+                steps=args.lbfgs, log_cb=_log)
+        else:
+            polished = variational.polish_lbfgs(
+                params, cfg, n_r=args.n_r, n_pts=args.n_pts,
+                steps=args.lbfgs, log_cb=_log)
         checkpoint.save(os.path.join(args.out, "variational.npz"),
-                        {"params": polished}, meta={"polish": "lbfgs"})
-        print(json.dumps({"out": args.out, "lbfgs_steps": args.lbfgs}))
+                        {"params": polished},
+                        meta={"polish": "spheroidal-lbfgs"
+                              if args.spheroidal else "lbfgs"})
+        print(json.dumps({"out": args.out, "lbfgs_steps": args.lbfgs,
+                          "spheroidal": bool(args.spheroidal)}))
         return
     res = variational.train_variational(
         cfg, params=params, n_r=args.n_r, n_pts=args.n_pts,
@@ -365,6 +373,7 @@ def cmd_evaluate(args) -> None:
     aen.save_surface(os.path.join(out_dir, "energy_eval.pkl"), surf)
     exact = aen.exact_energy(surf["R"], oracle=args.oracle)
     err = 1e3 * np.abs(surf["E_net"] - exact)
+    err_int = 1e3 * (surf["E_int"] - exact)   # signed: must be >= 0
     sel = surf["R"] >= 0.5
     print(json.dumps({
         "checkpoint": args.checkpoint,
@@ -375,6 +384,11 @@ def cmd_evaluate(args) -> None:
         "mean_err_mHa_R>=0.5": round(float(err[sel].mean()), 3),
         "max_err_mHa_R>=0.5": round(float(err[sel].max()), 3),
         "err_R=0.2": round(float(err[0]), 3),
+        # the honest variational metric: quadrature Rayleigh quotient of psi
+        # (signed; positivity certifies a true upper bound at every R)
+        "int_mean_err_mHa": round(float(np.abs(err_int).mean()), 4),
+        "int_max_err_mHa": round(float(np.abs(err_int).max()), 4),
+        "int_min_signed_mHa": round(float(err_int.min()), 4),
     }))
 
 
@@ -500,6 +514,12 @@ def main(argv=None) -> None:
                         "(exact odd-error cancellation in the quotient)")
     p.add_argument("--stratified-r", action="store_true", dest="stratified_r",
                    help="one R draw per stratum of the R range per step")
+    p.add_argument("--spheroidal", action="store_true",
+                   help="DETERMINISTIC objective: exact per-R Rayleigh "
+                        "quotients on prolate-spheroidal Gauss grids "
+                        "(noise-free; requires --lbfgs)")
+    p.add_argument("--n-xi", type=int, default=48, dest="n_xi")
+    p.add_argument("--n-eta", type=int, default=48, dest="n_eta")
     p.set_defaults(fn=cmd_variational)
 
     p = sub.add_parser("evaluate",

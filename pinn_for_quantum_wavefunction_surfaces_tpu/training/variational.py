@@ -100,32 +100,54 @@ def quotient_loss(params: dict, cfg: Config, vb: VBatch,
                   "e_r": e_r}
 
 
-def polish_lbfgs(params: dict, cfg: Config, n_r: int = 64,
-                 n_pts: int = 32768, steps: int = 300,
-                 key: Optional[jax.Array] = None,
-                 head_weight: float = 1.0, log_cb=None) -> dict:
-    """Full-batch L-BFGS on the variational objective.
+def spheroidal_vbatch(cfg: Config, n_r: int = 77, n_xi: int = 48,
+                      n_eta: int = 48, xi_span: float = 20.0,
+                      dtype=None, r_values=None) -> VBatch:
+    """DETERMINISTIC quadrature batch: per-R prolate-spheroidal Gauss grids.
 
-    The round-1 experiments showed L-BFGS on the PDE-residual loss finds its
-    unphysical global minima 1000x faster than Adam — but the Rayleigh
-    quotient is bounded below by the ground state, so strong optimisation is
-    SAFE here. A fixed importance-sampled batch (n_r half-distances spread
-    evenly over the R range x n_pts weighted points) makes the objective
-    deterministic; with ~2k parameters against millions of sample points the
-    finite-sample minimum tracks the true functional.
+    Same construction as analysis.energy.rayleigh_quotient_spheroidal (the
+    machine-precision evaluation grid), stacked over a linspace of
+    half-distances. With these (nodes, weights) in a VBatch, quotient_loss
+    computes the EXACT per-R Rayleigh quotients — no Monte-Carlo noise at
+    all — so strong optimisers converge to the ansatz family's true
+    variational optimum instead of the MC noise floor. Sigma symmetry makes
+    the azimuthal integral analytic (the ansatz depends on (r1, r2, R)
+    only), so n_xi x n_eta 2-D grids suffice.
     """
-    import optax
-
-    key = jax.random.PRNGKey(cfg.train.seed + 7) if key is None else key
-    dtype = jnp.dtype(cfg.dtype)
-    params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+    if cfg.model.ry or cfg.model.rz:
+        raise NotImplementedError(
+            "spheroidal quadrature assumes the nuclei on the x-axis")
+    dtype = jnp.dtype(cfg.dtype) if dtype is None else jnp.dtype(dtype)
     dom = cfg.domain
-    r = jnp.linspace(dom.r_lo, dom.r_hi, n_r, dtype=dtype)
-    keys = jax.random.split(key, n_r)
-    x, y, z, w = jax.vmap(
-        lambda k, ri: sample_importance(k, cfg, ri, n_pts, dtype))(keys, r)
-    vb = VBatch(x, y, z, w, r)
+    if r_values is None:
+        if dom.fixed_r is not None:
+            r_values = np.full((n_r,), dom.fixed_r)
+        else:
+            r_values = np.linspace(dom.r_lo, dom.r_hi, n_r)
+    r_values = np.asarray(r_values, float)
+    xi_nodes, xi_w = np.polynomial.legendre.leggauss(n_xi)
+    eta_nodes, eta_w = np.polynomial.legendre.leggauss(n_eta)
+    xs, ys, ws = [], [], []
+    for c in r_values:
+        half = 0.5 * xi_span / c
+        xi = 1.0 + half * (xi_nodes + 1.0)
+        wxi = xi_w * half
+        xi_g, eta_g = np.meshgrid(xi, eta_nodes, indexing="ij")
+        w2d = np.outer(wxi, eta_w) * (xi_g ** 2 - eta_g ** 2) \
+            * (2.0 * np.pi * c ** 3)
+        xs.append((c * xi_g * eta_g).ravel())
+        ys.append(np.sqrt(np.maximum(
+            (xi_g ** 2 - 1.0) * (1.0 - eta_g ** 2), 0.0)).ravel() * c)
+        ws.append(w2d.ravel())
+    x = jnp.asarray(np.stack(xs), dtype)
+    y = jnp.asarray(np.stack(ys), dtype)
+    return VBatch(x, y, jnp.zeros_like(x), jnp.asarray(np.stack(ws), dtype),
+                  jnp.asarray(r_values, dtype))
 
+
+def _lbfgs_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
+                    head_weight: float, log_cb=None) -> dict:
+    """Shared L-BFGS driver on quotient_loss over a fixed batch."""
     def f(p):
         return quotient_loss(p, cfg, vb, head_weight)[0]
 
@@ -145,6 +167,53 @@ def polish_lbfgs(params: dict, cfg: Config, n_r: int = 64,
         if log_cb is not None and i % 25 == 0:
             log_cb(i, {"E_obj": float(value)})
     return jax.tree.map(np.asarray, params)
+
+
+def polish_lbfgs(params: dict, cfg: Config, n_r: int = 64,
+                 n_pts: int = 32768, steps: int = 300,
+                 key: Optional[jax.Array] = None,
+                 head_weight: float = 1.0, log_cb=None) -> dict:
+    """Full-batch L-BFGS on the variational objective.
+
+    The round-1 experiments showed L-BFGS on the PDE-residual loss finds its
+    unphysical global minima 1000x faster than Adam — but the Rayleigh
+    quotient is bounded below by the ground state, so strong optimisation is
+    SAFE here. A fixed importance-sampled batch (n_r half-distances spread
+    evenly over the R range x n_pts weighted points) makes the objective
+    deterministic; with ~2k parameters against millions of sample points the
+    finite-sample minimum tracks the true functional.
+    """
+    key = jax.random.PRNGKey(cfg.train.seed + 7) if key is None else key
+    dtype = jnp.dtype(cfg.dtype)
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+    dom = cfg.domain
+    r = jnp.linspace(dom.r_lo, dom.r_hi, n_r, dtype=dtype)
+    keys = jax.random.split(key, n_r)
+    x, y, z, w = jax.vmap(
+        lambda k, ri: sample_importance(k, cfg, ri, n_pts, dtype))(keys, r)
+    vb = VBatch(x, y, z, w, r)
+    return _lbfgs_minimize(params, cfg, vb, steps, head_weight, log_cb)
+
+
+def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
+                      n_xi: int = 48, n_eta: int = 48, steps: int = 400,
+                      xi_span: float = 20.0, head_weight: float = 1.0,
+                      log_cb=None) -> dict:
+    """L-BFGS on the EXACT (quadrature) variational objective.
+
+    Replaces the MC estimator entirely: each step sees the true Rayleigh
+    quotient of every R on a machine-precision spheroidal grid, so the only
+    remaining error at convergence is the ansatz family's variational gap —
+    the MC noise floor that limited round 1 (CLAUDE.md) is gone. The per-R
+    quotients are independently bounded below by the exact eigenvalues, so
+    (unlike the residual loss) aggressive optimisation cannot find an
+    unphysical minimum.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+    vb = spheroidal_vbatch(cfg, n_r=n_r, n_xi=n_xi, n_eta=n_eta,
+                           xi_span=xi_span, dtype=dtype)
+    return _lbfgs_minimize(params, cfg, vb, steps, head_weight, log_cb)
 
 
 class VState(NamedTuple):

@@ -121,6 +121,43 @@ def test_antithetic_and_stratified_variance_reduction():
     assert ((r >= edges[:-1]) & (r <= edges[1:])).all()
 
 
+def test_spheroidal_vbatch_matches_quadrature_exactly():
+    """The deterministic batch must reproduce rayleigh_quotient_spheroidal
+    (same grid, same weights) — the quotient_loss per-R energies ARE the
+    machine-precision quadrature values."""
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy as aen
+    cfg = pqs.Config(dtype="float64")
+    params = ansatz.init_params(jax.random.PRNGKey(0), cfg.model, jnp.float64)
+    r_values = [0.5, 2.0]
+    vb = variational.spheroidal_vbatch(cfg, n_xi=40, n_eta=40,
+                                       r_values=r_values)
+    _, aux = variational.quotient_loss(params, cfg, vb)
+    for i, ri in enumerate(r_values):
+        quad = aen.rayleigh_quotient_spheroidal(params, cfg, ri,
+                                                n_xi=40, n_eta=40)
+        np.testing.assert_allclose(float(aux["e_r"][i]), quad, rtol=1e-12)
+
+
+def test_spheroidal_polish_descends_and_respects_variational_bound():
+    """Noise-free polish: objective decreases and every per-R quotient stays
+    ABOVE the exact eigenvalue (the Rayleigh bound — the property that makes
+    aggressive optimisation safe on this objective)."""
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy as aen
+    cfg = pqs.smoke_config(dtype="float64")
+    params = ansatz.init_params(jax.random.PRNGKey(0), cfg.model, jnp.float64)
+    out = variational.polish_spheroidal(params, cfg, n_r=3, n_xi=32,
+                                        n_eta=32, steps=25)
+    r_values = np.linspace(cfg.domain.r_lo, cfg.domain.r_hi, 3)
+    vb = variational.spheroidal_vbatch(cfg, n_xi=48, n_eta=48,
+                                       r_values=r_values)
+    _, aux0 = variational.quotient_loss(params, cfg, vb)
+    _, aux = variational.quotient_loss(out, cfg, vb)
+    assert float(jnp.mean(aux["e_r"])) < float(jnp.mean(aux0["e_r"]))
+    exact = aen.exact_energy_ode(r_values)
+    e_r = np.asarray(aux["e_r"])
+    assert (e_r >= exact - 1e-9).all(), (e_r, exact)
+
+
 def test_antithetic_importance_weights_unbiased():
     """Radial-antithetic importance weights still integrate a known function
     (the weights/density contract is unchanged)."""
