@@ -54,6 +54,20 @@ def test_exact_resume_from_state(tmp_path, capsys):
     assert rec["best_loss"] < 1e-3
 
 
+def test_variational_spheroidal_cli(tmp_path, capsys):
+    out1 = str(tmp_path / "s1")
+    _run(capsys, ["train", "--out", out1, "--epochs", "20",
+                  "--n-train", "256", "--dtype", "float64"])
+    out2 = str(tmp_path / "pol")
+    last = _run(capsys, ["variational", os.path.join(out1, "best.npz"),
+                         "--out", out2, "--lbfgs", "3", "--spheroidal",
+                         "--n-r", "3", "--n-xi", "16", "--n-eta", "16",
+                         "--dtype", "float64"])
+    rec = json.loads(last)
+    assert rec["spheroidal"] is True
+    assert os.path.exists(os.path.join(out2, "variational.npz"))
+
+
 def test_bad_checkpoint_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         cli.main(["energy", str(tmp_path / "missing.npz")])
