@@ -72,6 +72,27 @@ def psi(params: dict, x, y, z, r, arch: str = "symmetric",
     p = inversion_symmetry
     alpha = orbital_exponent(params, r) if "alpha1" in params else None
 
+    if "lam1" in params:
+        # separable-spheroidal family (models/ansatz._psi_separable):
+        # psi = Phi_GZ * exp(l(t, R/4) + m(eta^2, R/4))
+        r1 = np.sqrt((x - r) ** 2 + (y - ry) ** 2 + (z - rz) ** 2)
+        r2 = np.sqrt((x + r) ** 2 + (y + ry) ** 2 + (z + rz) ** 2)
+        bt = gz_exponent(params, r, p, alpha)
+        phi = (np.exp(-alpha * r1 - bt * r2)
+               + p * np.exp(-alpha * r2 - bt * r1))
+        t = np.exp(r - 0.5 * (r1 + r2))
+        eta2 = (0.5 * (r1 - r2) / r) ** 2
+        rf = 0.25 * r * np.ones_like(t)
+
+        def mlp_tanh(feats, l1, l2, l3):
+            h = np.tanh(feats @ params[l1]["w"] + params[l1]["b"])
+            h = np.tanh(h @ params[l2]["w"] + params[l2]["b"])
+            return h @ params[l3]["w"] + params[l3]["b"]
+
+        lam = mlp_tanh(np.stack([t, rf], -1), "lam1", "lam2", "lamout")
+        mu = mlp_tanh(np.stack([eta2, rf], -1), "mu1", "mu2", "muout")
+        return phi * np.exp(lam[..., 0] + mu[..., 0])
+
     def envelopes(xs):
         r1 = np.sqrt((xs - r) ** 2 + (y - ry) ** 2 + (z - rz) ** 2)
         r2 = np.sqrt((xs + r) ** 2 + (y + ry) ** 2 + (z + rz) ** 2)

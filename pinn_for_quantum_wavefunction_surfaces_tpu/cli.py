@@ -93,7 +93,7 @@ def _add_common(p, train=False):
                         "ungerade=2p sigma_u excited state")
     if train:
         p.add_argument("--arch", default="symmetric",
-                       choices=["symmetric", "minimal"])
+                       choices=["symmetric", "minimal", "separable"])
         p.add_argument("--n-train", type=int, dest="n_train")
         p.add_argument("--epochs", type=int,
                help="TOTAL schedule length; a resumed run trains the remaining\n epochs - start_step steps")
@@ -142,7 +142,9 @@ def _add_common(p, train=False):
 
 
 def _log(step, metrics):
-    print(f"{step:8d}: " + " ".join(f"{k}={v:.3e}" for k, v in
+    # 9 significant digits: variational polish progress is sub-mHa on an
+    # O(1) Ha objective — 3 digits cannot show it
+    print(f"{step:8d}: " + " ".join(f"{k}={v:.9e}" for k, v in
                                     metrics.items()), flush=True)
 
 

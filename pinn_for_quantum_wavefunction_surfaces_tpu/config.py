@@ -26,7 +26,13 @@ class ModelConfig:
     eigenvalue head 1->32->32->1 with output bias initialised to -1.
     """
 
-    arch: str = "symmetric"  # "symmetric" (poc) | "minimal" (train.py)
+    # "symmetric" (poc) | "minimal" (train.py) | "separable" (beyond the
+    # reference: psi = GZ(x;R) * exp(l(xi;R) + m(eta^2;R)) — a log-space
+    # correction SEPARABLE in prolate-spheroidal coordinates, the exact
+    # structure of the two-centre eigenfunctions Lambda(xi) M(eta). Per-R
+    # capacity is then limited only by smooth 1-D approximation, which
+    # breaks through the ~0.2 mHa floor of the gate*NN(f1,f2) family.)
+    arch: str = "symmetric"
     hidden: int = 16         # correction-MLP width     (dense_neurons)
     hidden_e: int = 32       # eigenvalue-head width    (dense_neurons_E)
     hidden_gate: int = 10    # gate width               (netDecay_neurons)
@@ -55,7 +61,7 @@ class ModelConfig:
     gz: bool = False
 
     def __post_init__(self):
-        if self.arch not in ("symmetric", "minimal"):
+        if self.arch not in ("symmetric", "minimal", "separable"):
             raise ValueError(f"unknown arch {self.arch!r}")
         if self.inversion_symmetry not in (-1, 1):
             raise ValueError("inversion_symmetry must be +1 or -1")

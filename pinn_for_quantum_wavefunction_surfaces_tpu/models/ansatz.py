@@ -62,8 +62,10 @@ def init_params(key: jax.Array, mcfg: ModelConfig, dtype=jnp.float32) -> dict:
       U(+/- 1/sqrt(shape[0])) — for biases that is 1/sqrt(fan_out).
     """
     dtype = jnp.dtype(dtype)
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 12)
     h, he, hg = mcfg.hidden, mcfg.hidden_e, mcfg.hidden_gate
+    if mcfg.arch == "separable":
+        return _init_separable(keys, mcfg, dtype)
     if mcfg.arch == "minimal":
         def lin(k, d_in, d_out):
             return _init_linear(k, d_in, d_out, dtype,
@@ -96,6 +98,45 @@ def init_params(key: jax.Array, mcfg: ModelConfig, dtype=jnp.float32) -> dict:
         params["beta1"] = _init_linear(kb1, 1, ha, dtype)
         params["beta2"] = {"w": jnp.zeros((ha, 1), dtype),
                            "b": jnp.full((1,), BETA_BIAS_INIT, dtype)}
+    return params
+
+
+def _init_separable(keys, mcfg: ModelConfig, dtype) -> dict:
+    """Separable-spheroidal family (beyond the reference):
+
+        psi = Phi_GZ(x, y, z; R) * exp( l(t, R~) + m(eta^2, R~) )
+
+    Phi_GZ = exp(-a r1 - b r2) + P exp(-a r2 - b r1) (the classical
+    Guillemin-Zener two-centre function, trainable a(R), b(R)); the log
+    correction is SEPARABLE in prolate-spheroidal coordinates — exactly the
+    structure Lambda(xi) M(eta) of the true two-centre eigenfunctions — with
+    t = e^{-c(xi-1)} in (0, 1] and eta^2 in [0, 1] as bounded smooth
+    features. exp(...) > 0 rules out the psi == 0 collapse modes by
+    construction (CLAUDE.md checklist for new physics heads), and the
+    eta -> -eta symmetry of both features preserves EXACT gerade/ungerade
+    parity (Phi_GZ carries it). Zero-initialised output layers make the
+    init EXACTLY the GZ physics ansatz."""
+    h, he = mcfg.hidden, mcfg.hidden_e
+    lin = lambda k, a, b: _init_linear(k, a, b, dtype)
+    params = {
+        "e1": lin(keys[3], 1, he),
+        "e2": lin(keys[4], he, he),
+        "eout": lin(keys[5], he, 1),
+        "lam1": lin(keys[0], 2, h),
+        "lam2": lin(keys[1], h, h),
+        "lamout": {"w": jnp.zeros((h, 1), dtype), "b": jnp.zeros((1,), dtype)},
+        "mu1": lin(keys[6], 2, h),
+        "mu2": lin(keys[7], h, h),
+        "muout": {"w": jnp.zeros((h, 1), dtype), "b": jnp.zeros((1,), dtype)},
+        # the GZ exponent heads are part of the family (alpha(R), b(R))
+        "alpha1": _init_linear(keys[8], 1, mcfg.hidden_alpha, dtype),
+        "alpha2": {"w": jnp.zeros((mcfg.hidden_alpha, 1), dtype),
+                   "b": jnp.full((1,), ALPHA_BIAS_INIT, dtype)},
+        "beta1": _init_linear(keys[9], 1, mcfg.hidden_alpha, dtype),
+        "beta2": {"w": jnp.zeros((mcfg.hidden_alpha, 1), dtype),
+                  "b": jnp.full((1,), BETA_BIAS_INIT, dtype)},
+    }
+    params["eout"]["b"] = jnp.full((1,), mcfg.eout_bias_init, dtype)
     return params
 
 
@@ -203,11 +244,42 @@ def _base(params, f1, f2, r_feat=None):
     return _mlp2(h, params["h1"], params["h2"])
 
 
+def _mlp_tanh(x, l1, l2, l3):
+    """tanh MLP with linear output: the log-correction bodies of the
+    separable arch (tanh: zero-centred, so zero output weights give an
+    exactly-zero correction at init)."""
+    y = jnp.tanh(x @ l1["w"] + l1["b"])
+    y = jnp.tanh(y @ l2["w"] + l2["b"])
+    return y @ l3["w"] + l3["b"]
+
+
+def _psi_separable(params: dict, mcfg: ModelConfig, x, y, z, r):
+    """Value-only forward of the separable-spheroidal family (see
+    _init_separable)."""
+    p_sym = mcfg.inversion_symmetry
+    r1 = jnp.sqrt((x - r) ** 2 + (y - mcfg.ry) ** 2 + (z - mcfg.rz) ** 2)
+    r2 = jnp.sqrt((x + r) ** 2 + (y + mcfg.ry) ** 2 + (z + mcfg.rz) ** 2)
+    a = orbital_exponent(params, r)
+    b = gz_exponent(params, r, p_sym, a)
+    phi = (jnp.exp(-a * r1 - b * r2) + p_sym * jnp.exp(-a * r2 - b * r1))
+    p_half = 0.5 * (r1 + r2)              # c*xi
+    t = jnp.exp(r - p_half)               # e^{-c(xi-1)} in (0, 1]
+    eta2 = (0.5 * (r1 - r2) / r) ** 2
+    r_feat = 0.25 * r
+    lam = _mlp_tanh(jnp.stack([t, r_feat], -1),
+                    params["lam1"], params["lam2"], params["lamout"])
+    mu = _mlp_tanh(jnp.stack([eta2, r_feat], -1),
+                   params["mu1"], params["mu2"], params["muout"])
+    return phi * jnp.exp(lam[..., 0] + mu[..., 0]), energy(params, r)
+
+
 def psi(params: dict, mcfg: ModelConfig, x, y, z, r):
     """Full ansatz forward: returns (psi, E), both shaped like x.
 
     x, y, z, r: (...,) arrays (R is the half internuclear distance per point).
     """
+    if "lam1" in params:
+        return _psi_separable(params, mcfg, x, y, z, r)
     e = energy(params, r)
     alpha = orbital_exponent(params, r) if "alpha1" in params else None
     f1, f2 = _envelopes(mcfg, x, y, z, r, alpha=alpha)
@@ -264,11 +336,46 @@ def _flip_gx(s: fwdlap.Spatial) -> fwdlap.Spatial:
     return fwdlap.Spatial(s.v, g, s.l)
 
 
+def _psi_separable_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
+    """Fused forward-Laplacian pass of the separable-spheroidal family."""
+    p_sym = float(mcfg.inversion_symmetry)
+    a = orbital_exponent(params, r)
+    b = gz_exponent(params, r, mcfg.inversion_symmetry, a)
+    ones = jnp.ones_like(r)
+    c1 = (r, mcfg.ry * ones, mcfg.rz * ones)
+    c2 = (-r, -mcfg.ry * ones, -mcfg.rz * ones)
+    phi = fwdlap.add(fwdlap.gz_envelope(x, y, z, c1, c2, a, b),
+                     fwdlap.scale(fwdlap.gz_envelope(x, y, z, c2, c1, a, b),
+                                  jnp.asarray(p_sym, x.dtype)))
+    r1s = fwdlap.radial_seed(x, y, z, *c1)
+    r2s = fwdlap.radial_seed(x, y, z, *c2)
+    # t = e^{r - (r1+r2)/2}; eta^2 = ((r1-r2)/(2r))^2; both even under
+    # r1 <-> r2 exchange, so Phi alone carries the inversion parity
+    p_half = fwdlap.scale(fwdlap.add(r1s, r2s), jnp.asarray(0.5, x.dtype))
+    t = fwdlap.exp(fwdlap.add(fwdlap.scale(p_half, jnp.asarray(-1.0, x.dtype)),
+                              fwdlap.const(r[..., None])))
+    eta = fwdlap.scale(fwdlap.sub(r1s, r2s), (0.5 / r)[..., None])
+    eta2 = fwdlap.mul(eta, eta)
+    r_feat = fwdlap.const((0.25 * r)[..., None])
+
+    def body(s, l1, l2, l3):
+        s = fwdlap.tanh(fwdlap.linear(s, params[l1]["w"], params[l1]["b"]))
+        s = fwdlap.tanh(fwdlap.linear(s, params[l2]["w"], params[l2]["b"]))
+        return fwdlap.linear(s, params[l3]["w"], params[l3]["b"])
+
+    lam = body(fwdlap.concat([t, r_feat]), "lam1", "lam2", "lamout")
+    mu = body(fwdlap.concat([eta2, r_feat]), "mu1", "mu2", "muout")
+    corr = fwdlap.exp(fwdlap.add(lam, mu))
+    return fwdlap.mul(phi, corr), energy(params, r)
+
+
 def psi_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
     """Fused pass returning (Spatial(psi), E): psi, grad psi and lap psi in a
     single forward traversal — replaces the reference's 6-pass
     ``autograd.grad`` chain (poc/main.py:82-97) with closed-form propagation.
     """
+    if "lam1" in params:
+        return _psi_separable_fwdlap(params, mcfg, x, y, z, r)
     e = energy(params, r)
     g_r = gate(params, r)[..., None]  # (..., 1), spatially constant
     p = float(mcfg.inversion_symmetry)

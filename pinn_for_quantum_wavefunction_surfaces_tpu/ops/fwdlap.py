@@ -156,6 +156,22 @@ def gz_envelope(x: jax.Array, y: jax.Array, z: jax.Array,
     return Spatial(v, g, lap[..., None])
 
 
+def radial_seed(x: jax.Array, y: jax.Array, z: jax.Array,
+                cx, cy, cz) -> Spatial:
+    """Distance r = |p - c| to a centre as a Spatial seed:
+
+        grad r = u = (p - c)/r,   lap r = 2/r.
+
+    The building block for ansatz families expressed in two-centre
+    coordinates (e.g. prolate-spheroidal xi, eta are linear combinations of
+    r1, r2 — models.ansatz separable arch)."""
+    dx, dy, dz = x - cx, y - cy, z - cz
+    r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    inv_r = 1.0 / r
+    u = jnp.stack([dx, dy, dz], axis=-1) * inv_r[..., None]
+    return Spatial(r[..., None], u[..., :, None], (2.0 * inv_r)[..., None])
+
+
 def orbital_envelope(x: jax.Array, y: jax.Array, z: jax.Array,
                      cx, cy, cz, alpha=None) -> Spatial:
     """The 1s atomic-orbital envelope f = exp(-alpha r) centred at

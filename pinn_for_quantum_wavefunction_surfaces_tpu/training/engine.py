@@ -245,6 +245,7 @@ def finetune(cfg: Config, params: dict, **kw) -> TrainResult:
     the E(R) head (reference poc/main.py:930-942: lr 5e-4, 2000 epochs).
     The trainable-exponent head (if present) belongs to the wavefunction and
     is frozen too."""
-    frozen = FINETUNE_FROZEN | frozenset(
-        k for k in ("alpha1", "alpha2", "beta1", "beta2") if k in params)
+    # everything that is not the E head belongs to the wavefunction — this
+    # also covers the separable arch's lam/mu/alpha/beta subtrees
+    frozen = frozenset(k for k in params if k not in ("e1", "e2", "eout"))
     return train(cfg, params=params, frozen=frozen, **kw)
