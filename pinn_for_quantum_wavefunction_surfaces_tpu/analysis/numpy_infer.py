@@ -91,7 +91,8 @@ def psi(params: dict, x, y, z, r, arch: str = "symmetric",
 
         lam = mlp_tanh(np.stack([t, rf], -1), "lam1", "lam2", "lamout")
         mu = mlp_tanh(np.stack([eta2, rf], -1), "mu1", "mu2", "muout")
-        return phi * np.exp(lam[..., 0] + mu[..., 0])
+        cap = 3.0  # models/ansatz.LOG_CORR_CAP
+        return phi * np.exp(cap * np.tanh((lam[..., 0] + mu[..., 0]) / cap))
 
     def envelopes(xs):
         r1 = np.sqrt((xs - r) ** 2 + (y - ry) ** 2 + (z - rz) ** 2)

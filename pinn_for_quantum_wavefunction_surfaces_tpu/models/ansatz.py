@@ -253,6 +253,15 @@ def _mlp_tanh(x, l1, l2, l3):
     return y @ l3["w"] + l3["b"]
 
 
+# The log-correction of the separable arch is BOUNDED to |l + m| < 3
+# (psi/Phi_GZ in [e^-3, e^3]): an unbounded exp correction has a
+# quadrature-gaming mode under grid-trained variational objectives — the
+# MLPs grow ~100x weights and carve delta-spikes between the quadrature
+# nodes (observed: train-grid quotient -5.9e15 Ha, true energy +17 Ha).
+# The physical correction is O(1), so the cap costs no capacity.
+LOG_CORR_CAP = 3.0
+
+
 def _psi_separable(params: dict, mcfg: ModelConfig, x, y, z, r):
     """Value-only forward of the separable-spheroidal family (see
     _init_separable)."""
@@ -270,7 +279,9 @@ def _psi_separable(params: dict, mcfg: ModelConfig, x, y, z, r):
                     params["lam1"], params["lam2"], params["lamout"])
     mu = _mlp_tanh(jnp.stack([eta2, r_feat], -1),
                    params["mu1"], params["mu2"], params["muout"])
-    return phi * jnp.exp(lam[..., 0] + mu[..., 0]), energy(params, r)
+    c = LOG_CORR_CAP
+    log_corr = c * jnp.tanh((lam[..., 0] + mu[..., 0]) / c)
+    return phi * jnp.exp(log_corr), energy(params, r)
 
 
 def psi(params: dict, mcfg: ModelConfig, x, y, z, r):
@@ -365,7 +376,10 @@ def _psi_separable_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
 
     lam = body(fwdlap.concat([t, r_feat]), "lam1", "lam2", "lamout")
     mu = body(fwdlap.concat([eta2, r_feat]), "mu1", "mu2", "muout")
-    corr = fwdlap.exp(fwdlap.add(lam, mu))
+    c = jnp.asarray(LOG_CORR_CAP, x.dtype)
+    bounded = fwdlap.scale(
+        fwdlap.tanh(fwdlap.scale(fwdlap.add(lam, mu), 1.0 / c)), c)
+    corr = fwdlap.exp(bounded)
     return fwdlap.mul(phi, corr), energy(params, r)
 
 

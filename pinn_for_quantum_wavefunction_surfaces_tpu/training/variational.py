@@ -147,7 +147,13 @@ def spheroidal_vbatch(cfg: Config, n_r: int = 77, n_xi: int = 48,
 
 def _lbfgs_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
                     head_weight: float, log_cb=None) -> dict:
-    """Shared L-BFGS driver on quotient_loss over a fixed batch."""
+    """Shared L-BFGS driver on quotient_loss over a fixed batch.
+
+    Returns the BEST iterate, not the last: late L-BFGS steps can blow up
+    (observed in f32: a final linesearch overshoot erased 4000 steps of
+    descent), and on a deterministic objective the lowest value IS the best
+    model — the train.py best-snapshot policy (reference train.py:58-60)
+    applied to the polish."""
     def f(p):
         return quotient_loss(p, cfg, vb, head_weight)[0]
 
@@ -156,17 +162,23 @@ def _lbfgs_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
     value_and_grad = optax.value_and_grad_from_state(f)
 
     @jax.jit
-    def step(p, state):
+    def step(p, state, best_p, best_v):
         value, grad = value_and_grad(p, state=state)
+        better = value < best_v
+        best_p = jax.tree.map(
+            lambda b, c: jnp.where(better, c, b), best_p, p)
+        best_v = jnp.where(better, value, best_v)
         updates, state = opt.update(grad, state, p, value=value, grad=grad,
                                     value_fn=f)
-        return optax.apply_updates(p, updates), state, value
+        return optax.apply_updates(p, updates), state, value, best_p, best_v
 
+    best_p, best_v = params, jnp.asarray(jnp.inf, jnp.dtype(cfg.dtype))
     for i in range(steps):
-        params, state, value = step(params, state)
+        params, state, value, best_p, best_v = step(params, state,
+                                                    best_p, best_v)
         if log_cb is not None and i % 25 == 0:
-            log_cb(i, {"E_obj": float(value)})
-    return jax.tree.map(np.asarray, params)
+            log_cb(i, {"E_obj": float(value), "E_best": float(best_v)})
+    return jax.tree.map(np.asarray, best_p)
 
 
 def polish_lbfgs(params: dict, cfg: Config, n_r: int = 64,
@@ -185,6 +197,9 @@ def polish_lbfgs(params: dict, cfg: Config, n_r: int = 64,
     """
     key = jax.random.PRNGKey(cfg.train.seed + 7) if key is None else key
     dtype = jnp.dtype(cfg.dtype)
+    if params is None:
+        params = ansatz.init_params(jax.random.PRNGKey(cfg.train.seed),
+                                    cfg.model, dtype)
     params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
     dom = cfg.domain
     r = jnp.linspace(dom.r_lo, dom.r_hi, n_r, dtype=dtype)
@@ -198,7 +213,7 @@ def polish_lbfgs(params: dict, cfg: Config, n_r: int = 64,
 def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                       n_xi: int = 48, n_eta: int = 48, steps: int = 400,
                       xi_span: float = 20.0, head_weight: float = 1.0,
-                      log_cb=None) -> dict:
+                      dual_grid: bool = True, log_cb=None) -> dict:
     """L-BFGS on the EXACT (quadrature) variational objective.
 
     Replaces the MC estimator entirely: each step sees the true Rayleigh
@@ -207,12 +222,38 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
     the MC noise floor that limited round 1 (CLAUDE.md) is gone. The per-R
     quotients are independently bounded below by the exact eigenvalues, so
     (unlike the residual loss) aggressive optimisation cannot find an
-    unphysical minimum.
+    unphysical minimum — of the CONTINUOUS functional. A fixed grid has one
+    loophole: spike modes between the nodes that the quadrature cannot see
+    (observed once, see models/ansatz.LOG_CORR_CAP). ``dual_grid`` closes
+    it: the objective averages quotients over TWO coprime-sized grids per R,
+    and a spike invisible to one grid is seen (and priced) by the other.
     """
     dtype = jnp.dtype(cfg.dtype)
+    if params is None:
+        params = ansatz.init_params(jax.random.PRNGKey(cfg.train.seed),
+                                    cfg.model, dtype)
     params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
     vb = spheroidal_vbatch(cfg, n_r=n_r, n_xi=n_xi, n_eta=n_eta,
                            xi_span=xi_span, dtype=dtype)
+    if dual_grid:
+        vb2 = spheroidal_vbatch(cfg, n_r=n_r, n_xi=n_xi + 17,
+                                n_eta=n_eta + 13, xi_span=xi_span,
+                                dtype=dtype)
+        # ragged second grid: pad along the point axis is unnecessary —
+        # keep the two batches separate R-rows by padding the SMALLER one
+        # with zero-weight points (zero weights contribute nothing to
+        # either sum of the quotient)
+        pts1, pts2 = vb.x.shape[1], vb2.x.shape[1]
+        pad = pts2 - pts1
+        pz = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+        # pad coordinates with 1s (not 0s: x=y=z=0 sits between the nuclei
+        # where 1/r is finite, but keep clear of r=0 regardless)
+        po = lambda a: jnp.pad(a, ((0, 0), (0, pad)), constant_values=1.0)
+        vb = VBatch(jnp.concatenate([po(vb.x), vb2.x]),
+                    jnp.concatenate([po(vb.y), vb2.y]),
+                    jnp.concatenate([po(vb.z), vb2.z]),
+                    jnp.concatenate([pz(vb.w), vb2.w]),
+                    jnp.concatenate([vb.r, vb2.r]))
     return _lbfgs_minimize(params, cfg, vb, steps, head_weight, log_cb)
 
 
