@@ -326,7 +326,7 @@ def cmd_variational(args) -> None:
         if args.spheroidal:
             polished = variational.polish_spheroidal(
                 params, cfg, n_r=args.n_r, n_xi=args.n_xi, n_eta=args.n_eta,
-                steps=args.lbfgs, log_cb=_log)
+                steps=args.lbfgs, adam_steps=args.adam_warmup, log_cb=_log)
         else:
             polished = variational.polish_lbfgs(
                 params, cfg, n_r=args.n_r, n_pts=args.n_pts,
@@ -522,6 +522,9 @@ def main(argv=None) -> None:
                         "(noise-free; requires --lbfgs)")
     p.add_argument("--n-xi", type=int, default=48, dest="n_xi")
     p.add_argument("--n-eta", type=int, default=48, dest="n_eta")
+    p.add_argument("--adam-warmup", type=int, default=0, dest="adam_warmup",
+                   help="deterministic-Adam steps before the L-BFGS polish "
+                        "(1 eval/step vs ~15 for cold L-BFGS linesearch)")
     p.set_defaults(fn=cmd_variational)
 
     p = sub.add_parser("evaluate",
