@@ -25,10 +25,11 @@ import numpy as np
 
 def _build_cfg(args) -> "object":
     import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
-    cfg = (pqs.minimal_config() if getattr(args, "arch", "symmetric")
-           == "minimal" else pqs.Config())
+    arch = getattr(args, "arch", "symmetric")
+    cfg = pqs.minimal_config() if arch == "minimal" else pqs.Config()
     model = dataclasses.replace(
-        cfg.model, inversion_symmetry=1 if args.state == "gerade" else -1)
+        cfg.model, arch=arch,
+        inversion_symmetry=1 if args.state == "gerade" else -1)
     train = dataclasses.replace(
         cfg.train,
         **{k: v for k, v in (("n_train", getattr(args, "n_train", None)),

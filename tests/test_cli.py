@@ -56,11 +56,17 @@ def test_exact_resume_from_state(tmp_path, capsys):
 
 def test_variational_spheroidal_cli(tmp_path, capsys):
     out1 = str(tmp_path / "s1")
-    _run(capsys, ["train", "--out", out1, "--epochs", "20",
-                  "--n-train", "256", "--dtype", "float64"])
+    _run(capsys, ["train", "--out", out1, "--arch", "separable",
+                  "--epochs", "20", "--n-train", "256", "--dtype", "float64"])
+    # --arch must propagate into the model config (regression: it was
+    # silently dropped, training a symmetric model under a separable label)
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    params, _ = checkpoint.load_params(os.path.join(out1, "best.npz"))
+    assert "lam1" in params.get("params", params)
     out2 = str(tmp_path / "pol")
     last = _run(capsys, ["variational", os.path.join(out1, "best.npz"),
-                         "--out", out2, "--lbfgs", "3", "--spheroidal",
+                         "--out", out2, "--arch", "separable",
+                         "--lbfgs", "3", "--adam-warmup", "5", "--spheroidal",
                          "--n-r", "3", "--n-xi", "16", "--n-eta", "16",
                          "--dtype", "float64"])
     rec = json.loads(last)
