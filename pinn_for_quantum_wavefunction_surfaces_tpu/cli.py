@@ -327,7 +327,9 @@ def cmd_variational(args) -> None:
         if args.spheroidal:
             polished = variational.polish_spheroidal(
                 params, cfg, n_r=args.n_r, n_xi=args.n_xi, n_eta=args.n_eta,
-                steps=args.lbfgs, adam_steps=args.adam_warmup, log_cb=_log)
+                steps=args.lbfgs, adam_steps=args.adam_warmup,
+                warmup_save=os.path.join(args.out, "warmup.npz"),
+                log_cb=_log)
         else:
             polished = variational.polish_lbfgs(
                 params, cfg, n_r=args.n_r, n_pts=args.n_pts,

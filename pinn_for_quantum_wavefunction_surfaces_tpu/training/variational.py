@@ -249,6 +249,7 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                       n_xi: int = 48, n_eta: int = 48, steps: int = 400,
                       xi_span: float = 20.0, head_weight: float = 1.0,
                       dual_grid: bool = True, adam_steps: int = 0,
+                      warmup_save: Optional[str] = None,
                       log_cb=None) -> dict:
     """L-BFGS on the EXACT (quadrature) variational objective.
 
@@ -293,6 +294,14 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
     if adam_steps:
         params = _adam_minimize(params, cfg, vb, adam_steps, head_weight,
                                 log_cb=log_cb)
+        if warmup_save:
+            # the L-BFGS phase compiles a much larger executable (zoom
+            # linesearch while_loop) and has been seen OOM-killing a remote
+            # compile server — don't let a late crash discard the warmup
+            from ..io import checkpoint
+            checkpoint.save(warmup_save,
+                            {"params": jax.tree.map(np.asarray, params)},
+                            meta={"polish": "spheroidal-adam-warmup"})
     return _lbfgs_minimize(params, cfg, vb, steps, head_weight, log_cb)
 
 
