@@ -323,7 +323,7 @@ def cmd_variational(args) -> None:
         params = {k: {kk: np.asarray(vv, cfg.dtype) for kk, vv in v.items()}
                   for k, v in params.items()}
     os.makedirs(args.out, exist_ok=True)
-    if args.lbfgs:
+    if args.lbfgs or (args.spheroidal and args.adam_warmup):
         if args.spheroidal:
             polished = variational.polish_spheroidal(
                 params, cfg, n_r=args.n_r, n_xi=args.n_xi, n_eta=args.n_eta,
