@@ -376,7 +376,12 @@ def cmd_evaluate(args) -> None:
     surf = aen.surface(new_params, cfg, n=args.n_test, lcao=False,
                        grid="spheroidal")
     aen.save_surface(os.path.join(out_dir, "energy_eval.pkl"), surf)
-    exact = aen.exact_energy(surf["R"], oracle=args.oracle)
+    if cfg.model.inversion_symmetry < 0:
+        # ungerade 2p sigma_u: only the ODE oracle covers it (the Wind
+        # table is the gerade ground state)
+        exact = aen.exact_energy_ode(surf["R"], state="2psu")
+    else:
+        exact = aen.exact_energy(surf["R"], oracle=args.oracle)
     err = 1e3 * np.abs(surf["E_net"] - exact)
     err_int = 1e3 * (surf["E_int"] - exact)   # signed: must be >= 0
     sel = surf["R"] >= 0.5
