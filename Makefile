@@ -19,9 +19,18 @@ train:
 	  --out runs/flagship --epochs 20000 --gz --trainable-exponent \
 	  --lr-schedule step
 
+# The round-2 flagship: separable-spheroidal ansatz trained on the
+# deterministic quadrature-variational objective. Runs entirely on host
+# CPU (~70 min); reaches E(R) mean 0.007 mHa (RESULTS.md).
+flagship:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/flagship_sep --arch separable \
+	  --adam-warmup 1500 --lbfgs 800 --spheroidal \
+	  --n-r 39 --n-xi 40 --n-eta 24 --dtype float64
+
 evaluate:
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
-	  evaluate artifacts/flagship.npz --dtype float64
+	  evaluate artifacts/flagship_separable.npz --steps 8000 --dtype float64
 
 dryrun:
 	$(CPU_ENV) XLA_FLAGS=--xla_force_host_platform_device_count=8 \

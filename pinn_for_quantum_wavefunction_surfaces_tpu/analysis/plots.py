@@ -89,11 +89,11 @@ def surface_figure(surf: dict, path: str = "figures/energy_surface.pdf") -> str:
 def gate_figure(params, cfg: Config, path: str = "figures/gate.pdf") -> str:
     """The gate / network-importance function f(R) (reference
     poc/main.py:1092-1111)."""
-    r, g = probes.gate_curve(params, cfg)
+    r, g, label = probes.importance_curve(params, cfg)
     fig, ax = plt.subplots()
     ax.plot(r, g, "b")
     ax.set_xlabel("R (bohr, half-distance)")
-    ax.set_ylabel("gate f(R)")
+    ax.set_ylabel(label)
     return _save(fig, path)
 
 
@@ -202,9 +202,9 @@ def paper_grid_figure(params, cfg: Config, surf: dict,
     ax2.axhline(0, c="k", ls="--", alpha=0.9)
     ax2.set_ylabel("Error (AU)")
     ax3 = plt.subplot2grid((4, 4), (3, 0), colspan=2, sharex=ax1)
-    rg, gate = probes.gate_curve(params, cfg)
+    rg, gate, glabel = probes.importance_curve(params, cfg)
     ax3.plot(rg, gate, "c")
-    ax3.set_ylabel("Gate")
+    ax3.set_ylabel("Gate" if "gate" in glabel else glabel)
     ax3.set_xlabel("$R/2$")
     ax_top = None
     for i, ri in enumerate(cut_rs):

@@ -94,6 +94,21 @@ def gate_curve(params, cfg: Config, n: int = 1000):
     return r, np.asarray(ansatz.gate(params, jnp.asarray(r)))
 
 
+def importance_curve(params, cfg: Config, n: int = 1000):
+    """(r, curve, label): the model's R-dependent mixing diagnostic.
+
+    Gated models: the gate f(R) (reference parity). The separable arch has
+    no gate — its analog is the Guillemin-Zener second exponent b(R), which
+    measures how far psi departs from plain LCAO (b = 0)."""
+    r = np.linspace(cfg.domain.r_lo, cfg.domain.r_hi, n)
+    rj = jnp.asarray(r)
+    if "gate1" in params:
+        return r, np.asarray(ansatz.gate(params, rj)), "gate f(R)"
+    a = ansatz.orbital_exponent(params, rj)
+    b = ansatz.gz_exponent(params, rj, cfg.model.inversion_symmetry, a)
+    return r, np.asarray(b), "GZ exponent b(R)"
+
+
 def energy_curve(params, cfg: Config, n: int = 1000, total: bool = False):
     """E(R) from the eigenvalue head over the R range (reference
     ``energy.py:25-35``). ``total`` adds the 1/(2R) nuclear repulsion."""

@@ -60,7 +60,7 @@ def rayleigh_targets(params: dict, cfg: Config, r_values=None,
 
 
 def fit_energy_head(params: dict, r_values, targets, lr: float = 3e-3,
-                    steps: int = 5000, lbfgs_steps: int = 2000) -> dict:
+                    steps: int = 5000, lbfgs_steps: int = 8000) -> dict:
     """Regress the E head onto (r, E*) pairs; all other subtrees untouched.
 
     Adam for the bulk, then a full-batch L-BFGS finisher on the same MSE
