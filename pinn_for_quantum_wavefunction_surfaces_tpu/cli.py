@@ -325,11 +325,15 @@ def cmd_variational(args) -> None:
     os.makedirs(args.out, exist_ok=True)
     if args.lbfgs or (args.spheroidal and args.adam_warmup):
         if args.spheroidal:
+            mesh = None
+            if getattr(args, "mesh", 0):
+                from .parallel.mesh import make_mesh
+                mesh = make_mesh(args.mesh)
             polished = variational.polish_spheroidal(
                 params, cfg, n_r=args.n_r, n_xi=args.n_xi, n_eta=args.n_eta,
                 steps=args.lbfgs, adam_steps=args.adam_warmup,
                 warmup_save=os.path.join(args.out, "warmup.npz"),
-                log_cb=_log)
+                mesh=mesh, log_cb=_log)
         else:
             polished = variational.polish_lbfgs(
                 params, cfg, n_r=args.n_r, n_pts=args.n_pts,

@@ -250,7 +250,7 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                       xi_span: float = 20.0, head_weight: float = 1.0,
                       dual_grid: bool = True, adam_steps: int = 0,
                       warmup_save: Optional[str] = None,
-                      log_cb=None) -> dict:
+                      mesh=None, log_cb=None) -> dict:
     """L-BFGS on the EXACT (quadrature) variational objective.
 
     Replaces the MC estimator entirely: each step sees the true Rayleigh
@@ -291,6 +291,17 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                     jnp.concatenate([po(vb.z), vb2.z]),
                     jnp.concatenate([pz(vb.w), vb2.w]),
                     jnp.concatenate([vb.r, vb2.r]))
+    if mesh is not None:
+        # Multi-chip: the objective is a mean of per-R quotients — the R
+        # axis is embarrassingly parallel (each row's (sum w psi H psi,
+        # sum w psi^2) pair reduces within its shard; only the final
+        # mean-over-R and the replicated-parameter gradient all-reduce
+        # cross shards, and GSPMD inserts those). Shard every batch array
+        # on axis 0 over the mesh's 'data' axis, replicate params.
+        from jax.sharding import NamedSharding, PartitionSpec as Ps
+        row = NamedSharding(mesh, Ps("data"))
+        vb = VBatch(*(jax.device_put(a, row) for a in vb))
+        params = jax.device_put(params, NamedSharding(mesh, Ps()))
     if adam_steps:
         params = _adam_minimize(params, cfg, vb, adam_steps, head_weight,
                                 log_cb=log_cb)

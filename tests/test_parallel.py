@@ -148,3 +148,22 @@ def test_shardmap_e_last_is_global_last_point():
     e_expected = float(ansatz.energy(state.params,
                                      state.batch.r[-1:])[0])
     np.testing.assert_allclose(float(h2.energy), e_expected, rtol=1e-12)
+
+
+def test_sharded_spheroidal_polish_matches_single_device():
+    """The deterministic quotient objective shards over the R axis (each
+    row's quadrature sums reduce within a shard); polish_spheroidal(mesh=..)
+    must reproduce the single-device polish to fp-reduction tolerance."""
+    from pinn_for_quantum_wavefunction_surfaces_tpu.models import ansatz
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import \
+        variational
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable"))
+    params = ansatz.init_params(jax.random.PRNGKey(0), cfg.model,
+                                jnp.float64)
+    kw = dict(n_r=8, n_xi=16, n_eta=12, steps=6, adam_steps=4)
+    ref = variational.polish_spheroidal(params, cfg, **kw)
+    m = pmesh.make_mesh(8)
+    got = variational.polish_spheroidal(params, cfg, mesh=m, **kw)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-12), ref, got)
