@@ -412,11 +412,14 @@ def cmd_sweep(args) -> None:
     cfg = _build_cfg(args)
     rs = args.r_values or list(np.round(np.arange(
         cfg.domain.r_lo, cfg.domain.r_hi + 1e-9, args.r_step), 2))
-    mesh = None
-    if args.mesh:
-        from .parallel.mesh import make_mesh
-        mesh = make_mesh(args.mesh)
-    out = sweep.train_per_r_vmapped(cfg, rs, mesh=mesh)
+    if args.polish:
+        out = sweep.polish_per_r(cfg, rs, steps=args.polish)
+    else:
+        mesh = None
+        if args.mesh:
+            from .parallel.mesh import make_mesh
+            mesh = make_mesh(args.mesh)
+        out = sweep.train_per_r_vmapped(cfg, rs, mesh=mesh)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".",
                 exist_ok=True)
     with open(args.out, "wb") as f:
@@ -556,6 +559,10 @@ def main(argv=None) -> None:
     p.add_argument("--r-values", type=float, nargs="*", dest="r_values")
     p.add_argument("--r-step", type=float, default=0.5, dest="r_step")
     p.add_argument("--out", default="runs/sweep/energy_sweep.pkl")
+    p.add_argument("--polish", type=int, default=0,
+                   help="per-R DETERMINISTIC spheroidal L-BFGS polish with "
+                        "this many steps instead of residual training "
+                        "(exact per-R family optima)")
     p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("export", help="convert checkpoint formats")

@@ -32,3 +32,19 @@ def test_vmapped_sweep_matches_shapes():
     assert np.isfinite(out["loss_history"]).all()
     # training reduced the loss for every member of the family
     assert (out["best_loss"] < out["loss_history"][0]).all()
+
+
+def test_polish_sweep_hits_exact_per_r():
+    """The deterministic per-R polish with the separable arch lands each
+    family member within 0.01 mHa of its exact eigenvalue."""
+    import dataclasses
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable"))
+    rs = [1.0, 2.0]
+    out = sweep.polish_per_r(cfg, rs, steps=120, n_xi=32, n_eta=20)
+    exact = aen.exact_energy_ode(np.asarray(rs))
+    err = 1e3 * (out["E_net"] - exact)
+    assert (err >= -1e-4).all(), err
+    assert (err <= 0.01).all(), err
