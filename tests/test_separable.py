@@ -124,6 +124,34 @@ def test_flagship_artifact_microhartree_regression():
         assert -1e-4 <= err_mha <= 0.01, (ri, err_mha)
 
 
+def test_ungerade_artifact_regression():
+    """Golden regression on the shipped ungerade (2p sigma_u) separable
+    flagship: E_int within 0.05 mHa of the excited-state ODE oracle at
+    probe Rs, variationally positive."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "ungerade_separable.npz")
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("ungerade artifact not present")
+    params, _ = checkpoint.load_params(path)
+    params = params.get("params", params)
+    params = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+              for k, v in params.items()}
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable",
+                                           inversion_symmetry=-1))
+    r_probe = np.array([1.0, 2.0])
+    exact = aen.exact_energy_ode(r_probe, state="2psu")
+    for ri, ex in zip(r_probe, exact):
+        e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
+        err_mha = 1e3 * (e - ex)
+        assert -1e-4 <= err_mha <= 0.05, (ri, err_mha)
+
+
 def test_spheroidal_polish_breaks_mha_at_fixed_r():
     """The design claim: at a single R the separable family polishes to
     well below 1 mHa from the raw GZ init in a few hundred noise-free
