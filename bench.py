@@ -24,13 +24,14 @@ import sys
 import time
 
 
-def measure_ours(n: int, steps: int, dtype: str) -> dict:
+def measure_ours(n: int, steps: int, dtype: str,
+                 arch: str = "symmetric") -> dict:
     import jax
     import dataclasses
     import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
     from pinn_for_quantum_wavefunction_surfaces_tpu.training import engine
 
-    cfg = pqs.Config(dtype=dtype)
+    cfg = pqs.Config(dtype=dtype, model=pqs.ModelConfig(arch=arch))
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, n_train=n,
                                        epochs=10 ** 9, scan_chunk=steps))
@@ -179,10 +180,15 @@ def main() -> None:
     # (~25 ms/call vs ~1.4 ms/step of real work)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--arch", default="symmetric",
+                    choices=["symmetric", "minimal", "separable"],
+                    help="model family for the measured train step "
+                         "(default: reference-parity symmetric; the XLA "
+                         "cost analysis supplies the FLOP count for any)")
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
 
-    ours = measure_ours(args.n, args.steps, args.dtype)
+    ours = measure_ours(args.n, args.steps, args.dtype, args.arch)
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_baseline.json")
