@@ -84,6 +84,31 @@ def rayleigh_quotient_adapted(params, cfg: Config, ri: float,
     return float(num / den)
 
 
+def spheroidal_grid(c: float, n_xi: int, n_eta: int,
+                    xi_span: float = 20.0):
+    """Flattened prolate-spheroidal Gauss grid for focal half-distance c:
+    returns (x, rho, w) 1-D arrays such that for any axially-symmetric f,
+    sum(w * f(x, rho, 0)) integrates f over R^3.
+
+    xi maps from (-1, 1) to (1, 1 + xi_span/c): covers r1+r2 up to
+    2c + 2*xi_span (psi^2 ~ e^{-1.5 r} < 1e-13 there for any alpha >= 0.75).
+    THE single source of the training-objective and evaluation grids
+    (training/variational.spheroidal_vbatch uses it too — keep them in
+    sync by construction)."""
+    xi_nodes, xi_w = np.polynomial.legendre.leggauss(n_xi)
+    eta_nodes, eta_w = np.polynomial.legendre.leggauss(n_eta)
+    half = 0.5 * xi_span / c
+    xi = 1.0 + half * (xi_nodes + 1.0)
+    wxi = xi_w * half
+    xi_g, eta_g = np.meshgrid(xi, eta_nodes, indexing="ij")
+    w2d = np.outer(wxi, eta_w) * (xi_g ** 2 - eta_g ** 2) \
+        * (2.0 * np.pi * c ** 3)
+    x = c * xi_g * eta_g
+    rho = c * np.sqrt(np.maximum((xi_g ** 2 - 1.0) * (1.0 - eta_g ** 2),
+                                 0.0))
+    return x.ravel(), rho.ravel(), w2d.ravel()
+
+
 def rayleigh_quotient_spheroidal(params, cfg: Config, ri: float,
                                  n_xi: int = 96, n_eta: int = 96,
                                  which: str = "model",
@@ -109,28 +134,13 @@ def rayleigh_quotient_spheroidal(params, cfg: Config, ri: float,
             "spheroidal quadrature assumes the nuclei on the x-axis "
             "(sigma symmetry); use the Cartesian grids for ry/rz != 0")
     dtype = jnp.result_type(*jax.tree.leaves(params))
-    c = float(ri)
+    x, rho, w2d = spheroidal_grid(float(ri), n_xi, n_eta, xi_span)
 
-    xi_nodes, xi_w = np.polynomial.legendre.leggauss(n_xi)
-    eta_nodes, eta_w = np.polynomial.legendre.leggauss(n_eta)
-    # map xi from (-1, 1) to (1, 1 + xi_span/c): covers r1+r2 up to
-    # 2c + 2*xi_span (psi^2 ~ e^{-1.5 r} < 1e-13 there for any alpha >= 0.75)
-    half = 0.5 * xi_span / c
-    xi = 1.0 + half * (xi_nodes + 1.0)
-    wxi = xi_w * half
-
-    xi_g, eta_g = np.meshgrid(xi, eta_nodes, indexing="ij")
-    w2d = np.outer(wxi, eta_w) * (xi_g ** 2 - eta_g ** 2) \
-        * (2.0 * np.pi * c ** 3)
-
-    x = c * xi_g * eta_g
-    rho = c * np.sqrt(np.maximum((xi_g ** 2 - 1.0) * (1.0 - eta_g ** 2), 0.0))
-
-    xf = jnp.asarray(x.ravel(), dtype)
-    yf = jnp.asarray(rho.ravel(), dtype)
+    xf = jnp.asarray(x, dtype)
+    yf = jnp.asarray(rho, dtype)
     zf = jnp.zeros_like(yf)
     rf = jnp.full_like(yf, ri)
-    wf = jnp.asarray(w2d.ravel(), dtype)
+    wf = jnp.asarray(w2d, dtype)
 
     num, den = _spheroidal_sums(params, cfg, xf, yf, zf, rf, wf, which)
     return float(num / den)

@@ -322,6 +322,13 @@ def cmd_variational(args) -> None:
         params = _load_params(args.checkpoint)
         params = {k: {kk: np.asarray(vv, cfg.dtype) for kk, vv in v.items()}
                   for k, v in params.items()}
+    if args.spheroidal and not (args.lbfgs or args.adam_warmup):
+        raise SystemExit("--spheroidal is the deterministic objective: give "
+                         "it an optimisation budget (--lbfgs N and/or "
+                         "--adam-warmup N)")
+    if args.adam_warmup and not args.spheroidal:
+        raise SystemExit("--adam-warmup belongs to the --spheroidal polish "
+                         "(the MC trainer is already Adam)")
     os.makedirs(args.out, exist_ok=True)
     if args.lbfgs or (args.spheroidal and args.adam_warmup):
         if args.spheroidal:
@@ -380,10 +387,12 @@ def cmd_evaluate(args) -> None:
     surf = aen.surface(new_params, cfg, n=args.n_test, lcao=False,
                        grid="spheroidal")
     aen.save_surface(os.path.join(out_dir, "energy_eval.pkl"), surf)
+    oracle = args.oracle
     if cfg.model.inversion_symmetry < 0:
         # ungerade 2p sigma_u: only the ODE oracle covers it (the Wind
         # table is the gerade ground state)
         exact = aen.exact_energy_ode(surf["R"], state="2psu")
+        oracle = "ode:2psu"
     else:
         exact = aen.exact_energy(surf["R"], oracle=args.oracle)
     err = 1e3 * np.abs(surf["E_net"] - exact)
@@ -391,7 +400,7 @@ def cmd_evaluate(args) -> None:
     sel = surf["R"] >= 0.5
     print(json.dumps({
         "checkpoint": args.checkpoint,
-        "oracle": args.oracle,
+        "oracle": oracle,
         "fit_rms_mHa": round(1e3 * info["fit_rms"], 3),
         "mean_err_mHa": round(float(err.mean()), 3),
         "max_err_mHa": round(float(err.max()), 3),
@@ -413,6 +422,9 @@ def cmd_sweep(args) -> None:
     rs = args.r_values or list(np.round(np.arange(
         cfg.domain.r_lo, cfg.domain.r_hi + 1e-9, args.r_step), 2))
     if args.polish:
+        if args.mesh:
+            raise SystemExit("--polish runs per-R single-row quotients and "
+                             "does not shard over a mesh; drop --mesh")
         out = sweep.polish_per_r(cfg, rs, steps=args.polish)
     else:
         mesh = None

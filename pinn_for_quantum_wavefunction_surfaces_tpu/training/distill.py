@@ -100,15 +100,24 @@ def fit_energy_head(params: dict, r_values, targets, lr: float = 3e-3,
 
         @jax.jit
         def lb_run(head):
+            # keep the BEST iterate: a late linesearch overshoot must not
+            # erase the descent (same policy as the variational polish)
             def body(carry, _):
-                head, st = carry
+                head, st, best_h, best_v = carry
                 value, grad = vg(head, state=st)
+                better = value < best_v
+                best_h = jax.tree.map(
+                    lambda b, c: jnp.where(better, c, b), best_h, head)
+                best_v = jnp.where(better, value, best_v)
                 updates, st = lb.update(grad, st, head, value=value,
                                         grad=grad, value_fn=loss)
-                return (optax.apply_updates(head, updates), st), value
-            (head, _), _ = jax.lax.scan(body, (head, lb.init(head)), None,
-                                        length=lbfgs_steps)
-            return head
+                return (optax.apply_updates(head, updates), st,
+                        best_h, best_v), value
+            init = (head, lb.init(head), head,
+                    jnp.asarray(jnp.inf, t.dtype))
+            (head, _, best_h, _), _ = jax.lax.scan(body, init, None,
+                                                   length=lbfgs_steps)
+            return best_h
 
         head = lb_run(head)
     return {**rest, **jax.tree.map(np.asarray, head)}

@@ -115,6 +115,8 @@ def spheroidal_vbatch(cfg: Config, n_r: int = 77, n_xi: int = 48,
     the azimuthal integral analytic (the ansatz depends on (r1, r2, R)
     only), so n_xi x n_eta 2-D grids suffice.
     """
+    from ..analysis.energy import spheroidal_grid
+
     if cfg.model.ry or cfg.model.rz:
         raise NotImplementedError(
             "spheroidal quadrature assumes the nuclei on the x-axis")
@@ -122,24 +124,18 @@ def spheroidal_vbatch(cfg: Config, n_r: int = 77, n_xi: int = 48,
     dom = cfg.domain
     if r_values is None:
         if dom.fixed_r is not None:
-            r_values = np.full((n_r,), dom.fixed_r)
+            # one row suffices — duplicating the identical grid n_r times
+            # would multiply every optimisation step's cost for nothing
+            r_values = np.asarray([dom.fixed_r])
         else:
             r_values = np.linspace(dom.r_lo, dom.r_hi, n_r)
     r_values = np.asarray(r_values, float)
-    xi_nodes, xi_w = np.polynomial.legendre.leggauss(n_xi)
-    eta_nodes, eta_w = np.polynomial.legendre.leggauss(n_eta)
     xs, ys, ws = [], [], []
     for c in r_values:
-        half = 0.5 * xi_span / c
-        xi = 1.0 + half * (xi_nodes + 1.0)
-        wxi = xi_w * half
-        xi_g, eta_g = np.meshgrid(xi, eta_nodes, indexing="ij")
-        w2d = np.outer(wxi, eta_w) * (xi_g ** 2 - eta_g ** 2) \
-            * (2.0 * np.pi * c ** 3)
-        xs.append((c * xi_g * eta_g).ravel())
-        ys.append(np.sqrt(np.maximum(
-            (xi_g ** 2 - 1.0) * (1.0 - eta_g ** 2), 0.0)).ravel() * c)
-        ws.append(w2d.ravel())
+        x1, rho1, w1 = spheroidal_grid(float(c), n_xi, n_eta, xi_span)
+        xs.append(x1)
+        ys.append(rho1)
+        ws.append(w1)
     x = jnp.asarray(np.stack(xs), dtype)
     y = jnp.asarray(np.stack(ys), dtype)
     return VBatch(x, y, jnp.zeros_like(x), jnp.asarray(np.stack(ws), dtype),
@@ -270,6 +266,19 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
         params = ansatz.init_params(jax.random.PRNGKey(cfg.train.seed),
                                     cfg.model, dtype)
     params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+    if mesh is not None and cfg.domain.fixed_r is None:
+        # row-sharding needs the R-row count divisible by the mesh axis
+        # (each of the dual grids contributes n_r rows) — round UP: a few
+        # extra R values only densify the surface, never change its optimum
+        d = mesh.size
+        n_r = -(-n_r // d) * d
+    if dtype == jnp.float32 and steps:
+        import warnings
+        warnings.warn(
+            "f32 L-BFGS on the quotient objective diverges after ~1k steps "
+            "(linesearch noise poisons the curvature memory — CLAUDE.md); "
+            "best-iterate tracking limits the damage, but polish in f64 "
+            "for production runs", stacklevel=2)
     vb = spheroidal_vbatch(cfg, n_r=n_r, n_xi=n_xi, n_eta=n_eta,
                            xi_span=xi_span, dtype=dtype)
     if dual_grid:
