@@ -97,6 +97,31 @@ def gate_figure(params, cfg: Config, path: str = "figures/gate.pdf") -> str:
     return _save(fig, path)
 
 
+def exponent_figure(params, cfg: Config,
+                    path: str = "figures/exponents.pdf") -> str | None:
+    """Learned orbital exponents alpha(R) and b(R) (capability beyond the
+    reference — its envelopes are fixed at alpha=1, b=0). Returns None for
+    fixed-exponent models."""
+    import jax.numpy as jnp
+    from ..models import ansatz
+    if "alpha1" not in params and "beta1" not in params:
+        return None
+    r = np.linspace(cfg.domain.r_lo, cfg.domain.r_hi, 400)
+    rj = jnp.asarray(r)
+    a = np.asarray(ansatz.orbital_exponent(params, rj))
+    b = np.asarray(ansatz.gz_exponent(params, rj,
+                                      cfg.model.inversion_symmetry,
+                                      jnp.asarray(a)))
+    fig, ax = plt.subplots()
+    ax.plot(r, a, "b", label=r"$\alpha(R)$ (primary)")
+    ax.plot(r, b, "r", label=r"$b(R)$ (Guillemin-Zener)")
+    ax.axhline(1.0, c="k", ls=":", alpha=0.5)
+    ax.set_xlabel("R (bohr, half-distance)")
+    ax.set_ylabel("orbital exponent")
+    ax.legend()
+    return _save(fig, path)
+
+
 def psi_cut_figure(params, cfg: Config, ri: float,
                    path: str | None = None, normalized: bool = False,
                    diff: bool = False) -> str:

@@ -280,6 +280,10 @@ def cmd_analyze(args) -> None:
     paths = [plots.energy_curve_figure(params, cfg,
                                        os.path.join(outdir, "energy.png")),
              plots.gate_figure(params, cfg, os.path.join(outdir, "gate.pdf"))]
+    expfig = plots.exponent_figure(params, cfg,
+                                   os.path.join(outdir, "exponents.pdf"))
+    if expfig:
+        paths.append(expfig)
     for ri in args.r_cuts:
         paths.append(plots.psi_cut_figure(
             params, cfg, ri, os.path.join(outdir, f"R{ri:g}.png")))
