@@ -338,6 +338,13 @@ def cmd_variational(args) -> None:
         if args.spheroidal:
             mesh = None
             if getattr(args, "mesh", 0):
+                if cfg.domain.fixed_r is not None:
+                    # the dual-grid batch has exactly 2 R-rows at fixed R, so
+                    # there is nothing to shard along the R axis — a larger
+                    # mesh would crash in device_put (rows not divisible)
+                    raise SystemExit("--mesh shards the polish over R rows; "
+                                     "with --fixed-r there is only one R — "
+                                     "drop --mesh")
                 from .parallel.mesh import make_mesh
                 mesh = make_mesh(args.mesh)
             polished = variational.polish_spheroidal(
@@ -349,11 +356,17 @@ def cmd_variational(args) -> None:
             polished = variational.polish_lbfgs(
                 params, cfg, n_r=args.n_r, n_pts=args.n_pts,
                 steps=args.lbfgs, log_cb=_log)
+        if not args.spheroidal:
+            polish = "lbfgs"
+        elif args.lbfgs:
+            polish = "spheroidal-lbfgs"
+        else:
+            polish = "spheroidal-adam"   # pure warmup run, no L-BFGS phase
         checkpoint.save(os.path.join(args.out, "variational.npz"),
-                        {"params": polished},
-                        meta={"polish": "spheroidal-lbfgs"
-                              if args.spheroidal else "lbfgs"})
-        print(json.dumps({"out": args.out, "lbfgs_steps": args.lbfgs,
+                        {"params": polished}, meta={"polish": polish})
+        print(json.dumps({"out": args.out, "polish": polish,
+                          "lbfgs_steps": args.lbfgs,
+                          "adam_warmup_steps": args.adam_warmup,
                           "spheroidal": bool(args.spheroidal)}))
         return
     res = variational.train_variational(

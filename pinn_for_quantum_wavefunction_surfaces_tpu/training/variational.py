@@ -241,6 +241,21 @@ def _adam_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
     return carry[0]
 
 
+def _coprime_size(n: int, offset: int) -> int:
+    """Smallest m >= n + offset with gcd(n, m) == 1.
+
+    The dual-grid objective's anti-aliasing argument needs the two grids'
+    node sets to share no common sub-lattice; a fixed offset alone does not
+    guarantee that (n=17 -> 34 shares every node family), so the second size
+    is bumped to true coprimality. For the defaults (48 -> 65, 48 -> 61)
+    this is the identity."""
+    import math
+    m = n + offset
+    while math.gcd(n, m) != 1:
+        m += 1
+    return m
+
+
 def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                       n_xi: int = 48, n_eta: int = 48, steps: int = 400,
                       xi_span: float = 20.0, head_weight: float = 1.0,
@@ -282,9 +297,10 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
     vb = spheroidal_vbatch(cfg, n_r=n_r, n_xi=n_xi, n_eta=n_eta,
                            xi_span=xi_span, dtype=dtype)
     if dual_grid:
-        vb2 = spheroidal_vbatch(cfg, n_r=n_r, n_xi=n_xi + 17,
-                                n_eta=n_eta + 13, xi_span=xi_span,
-                                dtype=dtype)
+        vb2 = spheroidal_vbatch(cfg, n_r=n_r,
+                                n_xi=_coprime_size(n_xi, 17),
+                                n_eta=_coprime_size(n_eta, 13),
+                                xi_span=xi_span, dtype=dtype)
         # ragged second grid: pad along the point axis is unnecessary —
         # keep the two batches separate R-rows by padding the SMALLER one
         # with zero-weight points (zero weights contribute nothing to
