@@ -25,7 +25,7 @@ import time
 
 
 def measure_ours(n: int, steps: int, dtype: str,
-                 arch: str = "symmetric") -> dict:
+                 arch: str = "symmetric", repeats: int = 3) -> dict:
     import jax
     import dataclasses
     import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
@@ -54,10 +54,16 @@ def measure_ours(n: int, steps: int, dtype: str,
     # executable and remote compiles are expensive)
     state, hist = chunk(state, steps)
     sync(hist.l_tot[-1])
-    t0 = time.perf_counter()
-    state, hist = chunk(state, steps)
-    sync(hist.l_tot[-1])
-    dt = time.perf_counter() - t0
+    # best-of-k with spread: single timed chunks proved noisy round-over-
+    # round (r01 88.8M vs r02 81.6M on identical code — axon host noise);
+    # the BEST chunk is the hardware number, the spread qualifies it
+    times = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        state, hist = chunk(state, steps)
+        sync(hist.l_tot[-1])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     dev = jax.devices()[0]
     # roofline: prefer the compiler's own FLOP count for the whole scan
     # executable; fall back to the analytic estimate
@@ -79,6 +85,9 @@ def measure_ours(n: int, steps: int, dtype: str,
         flops_src = "analytic"
     return {
         "points_per_sec": n * steps / dt,
+        "points_per_sec_median": n * steps / sorted(times)[len(times) // 2],
+        "points_per_sec_worst": n * steps / max(times),
+        "timed_chunks": len(times),
         "steps_per_sec": steps / dt,
         "n": n, "steps": steps, "dtype": dtype,
         "device": f"{dev.platform}:{dev.device_kind}",
@@ -180,15 +189,24 @@ def main() -> None:
     # (~25 ms/call vs ~1.4 ms/step of real work)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--arch", default="symmetric",
+    ap.add_argument("--arch", default=None,
                     choices=["symmetric", "minimal", "separable"],
-                    help="model family for the measured train step "
-                         "(default: reference-parity symmetric; the XLA "
-                         "cost analysis supplies the FLOP count for any)")
+                    help="model family for the measured train step. Default: "
+                         "measure BOTH the reference-parity symmetric family "
+                         "(the round-over-round comparable headline) and the "
+                         "separable flagship, in one JSON line")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed chunks per arch; best is reported, "
+                         "median/worst recorded as dispersion")
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
 
-    ours = measure_ours(args.n, args.steps, args.dtype, args.arch)
+    ours = measure_ours(args.n, args.steps, args.dtype,
+                        args.arch or "symmetric", repeats=args.repeats)
+    flagship = None
+    if args.arch is None:
+        flagship = measure_ours(args.n, args.steps, args.dtype, "separable",
+                                repeats=args.repeats)
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_baseline.json")
@@ -208,7 +226,7 @@ def main() -> None:
     vs = (ours["points_per_sec"] / baseline["points_per_sec"]
           if baseline else 1.0)
     achieved = ours["points_per_sec"] * ours["flops_per_point"]
-    print(json.dumps({
+    out = {
         "metric": "collocation_points_per_sec",
         "value": round(ours["points_per_sec"], 1),
         "unit": "points/s",
@@ -221,7 +239,23 @@ def main() -> None:
         "achieved_gflops": round(achieved / 1e9, 2),
         "peak_fraction": round(achieved / PEAK_FLOPS_F32_VPU, 4),
         "kernel": ours.get("kernel", "xla"),
-    }))
+        # dispersion over the timed chunks (value = best)
+        "value_median": round(ours["points_per_sec_median"], 1),
+        "value_worst": round(ours["points_per_sec_worst"], 1),
+        "timed_chunks": ours["timed_chunks"],
+    }
+    if flagship is not None:
+        fl_achieved = (flagship["points_per_sec"]
+                       * flagship["flops_per_point"])
+        out["separable"] = {
+            "points_per_sec": round(flagship["points_per_sec"], 1),
+            "points_per_sec_median": round(
+                flagship["points_per_sec_median"], 1),
+            "flops_per_point": round(flagship["flops_per_point"], 1),
+            "achieved_gflops": round(fl_achieved / 1e9, 2),
+            "peak_fraction": round(fl_achieved / PEAK_FLOPS_F32_VPU, 4),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

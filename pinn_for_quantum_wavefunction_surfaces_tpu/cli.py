@@ -398,9 +398,18 @@ def cmd_evaluate(args) -> None:
                                        steps=args.steps)
     out_dir = args.out or os.path.dirname(os.path.abspath(args.checkpoint))
     os.makedirs(out_dir, exist_ok=True)
-    checkpoint.save(os.path.join(out_dir, "evaluated.npz"),
-                    {"params": new_params},
-                    meta={"fit_rms": info["fit_rms"]})
+    tree = {"params": new_params}
+    table = None
+    if args.table_knots:
+        # dense spline table of per-R Rayleigh quotients: the exported E(R)
+        # surface inherits psi's accuracy instead of the MLP head's ~0.007
+        # mHa fit floor (analysis.etab)
+        from .analysis import etab
+        table = etab.build_table(new_params, cfg, n_knots=args.table_knots)
+        tree["e_table"] = table
+    checkpoint.save(os.path.join(out_dir, "evaluated.npz"), tree,
+                    meta={"fit_rms": info["fit_rms"],
+                          "table_knots": args.table_knots})
     surf = aen.surface(new_params, cfg, n=args.n_test, lcao=False,
                        grid="spheroidal")
     aen.save_surface(os.path.join(out_dir, "energy_eval.pkl"), surf)
@@ -415,7 +424,7 @@ def cmd_evaluate(args) -> None:
     err = 1e3 * np.abs(surf["E_net"] - exact)
     err_int = 1e3 * (surf["E_int"] - exact)   # signed: must be >= 0
     sel = surf["R"] >= 0.5
-    print(json.dumps({
+    out = {
         "checkpoint": args.checkpoint,
         "oracle": oracle,
         "fit_rms_mHa": round(1e3 * info["fit_rms"], 3),
@@ -429,7 +438,27 @@ def cmd_evaluate(args) -> None:
         "int_mean_err_mHa": round(float(np.abs(err_int).mean()), 4),
         "int_max_err_mHa": round(float(np.abs(err_int).max()), 4),
         "int_min_signed_mHa": round(float(err_int.min()), 4),
-    }))
+    }
+    if table is not None:
+        # the exported spline table scored as E_net — on the standard grid
+        # AND at off-knot points (half-spacing offsets), so the number
+        # reflects interpolation quality, not table lookup
+        from .analysis import etab
+        e_tab = etab.energy_from_table(table, surf["R"])
+        terr = 1e3 * np.abs(e_tab - exact)
+        half = 0.5 * float(table["R"][1] - table["R"][0])
+        r_off = surf["R"][:-1] + half
+        ex_off = (aen.exact_energy_ode(r_off, state="2psu")
+                  if cfg.model.inversion_symmetry < 0
+                  else aen.exact_energy_ode(r_off))
+        terr_off = 1e3 * np.abs(etab.energy_from_table(table, r_off) - ex_off)
+        out.update({
+            "tab_mean_err_mHa": round(float(terr.mean()), 4),
+            "tab_max_err_mHa": round(float(terr.max()), 4),
+            "tab_offknot_mean_err_mHa": round(float(terr_off.mean()), 4),
+            "tab_offknot_max_err_mHa": round(float(terr_off.max()), 4),
+        })
+    print(json.dumps(out))
 
 
 def cmd_sweep(args) -> None:
@@ -581,6 +610,10 @@ def main(argv=None) -> None:
     p.add_argument("--oracle", default="ode", choices=["wind", "ode"],
                    help="error ruler (default: the exact ODE solver — the "
                         "honest ruler for sub-0.1 mHa claims)")
+    p.add_argument("--table-knots", type=int, default=153, dest="table_knots",
+                   help="knot count for the exported spline E(R) table "
+                        "(per-R spheroidal Rayleigh quotients; bypasses the "
+                        "MLP head's fit floor; 0 disables)")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("sweep", help="per-R multi-model family (legacy mode)")

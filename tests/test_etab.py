@@ -1,0 +1,81 @@
+"""Tabulated/spline E(R) export (analysis.etab).
+
+The exported table must (a) reproduce scipy's reference not-a-knot spline,
+(b) interpolate a smooth surface far below the MLP head's ~0.007 mHa fit
+floor, and (c) round-trip through the native npz checkpoint.
+"""
+
+import numpy as np
+import pytest
+
+from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import etab
+
+
+def test_spline_matches_scipy():
+    scipy_interp = pytest.importorskip("scipy.interpolate")
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0.2, 4.0, 23))
+    y = np.sin(2 * x) + 0.1 * x ** 2
+    m = etab.cubic_spline_coeffs(x, y)
+    r = np.linspace(0.25, 3.95, 211)
+    ours = etab.spline_eval(x, y, m, r)
+    ref = scipy_interp.CubicSpline(x, y)(r)   # not-a-knot default
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-12)
+
+
+def test_spline_interpolation_error_below_head_floor():
+    # a surface with the E(R) scale of curvature (4th derivative ~1/(R+c)^5
+    # like the real united-atom end), on build_table's default log-clustered
+    # knot layout: interpolation error must be << 0.001 mHa everywhere
+    t = np.linspace(np.log(0.5), np.log(4.3), 153)
+    x = np.exp(t) - 0.3
+    x[0], x[-1] = 0.2, 4.0
+    f = lambda r: -0.5 - 1.0 / (r + 0.3) + 0.2 * np.exp(-r)
+    m = etab.cubic_spline_coeffs(x, f(x))
+    r = np.linspace(0.2125, 3.9875, 307)   # off-knot
+    err_mha = 1e3 * np.abs(etab.spline_eval(x, f(x), m, r) - f(r))
+    assert err_mha.max() < 1e-4
+
+
+def test_knot_values_reproduced_exactly():
+    x = np.linspace(0.2, 4.0, 20)
+    y = np.cos(x)
+    m = etab.cubic_spline_coeffs(x, y)
+    np.testing.assert_allclose(etab.spline_eval(x, y, m, x), y,
+                               rtol=0, atol=1e-13)
+
+
+def test_table_roundtrip_npz(tmp_path):
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+
+    table = {"R": np.linspace(0.2, 4.0, 9),
+             "E": np.linspace(-0.6, -0.5, 9)}
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save(path, {"params": {"e1": {"w": np.zeros(3)}},
+                           "e_table": table}, meta={"table_knots": 9})
+    loaded = etab.load_table(path)
+    np.testing.assert_array_equal(loaded["R"], table["R"])
+    np.testing.assert_array_equal(loaded["E"], table["E"])
+    assert checkpoint.load_meta(path)["table_knots"] == 9
+    # a params-only checkpoint reports no table
+    p2 = str(tmp_path / "ck2.npz")
+    checkpoint.save(p2, {"params": {"e1": {"w": np.zeros(3)}}})
+    assert etab.load_table(p2) is None
+
+
+def test_build_table_smoke():
+    # tiny knot count on the LCAO-initialised smoke model: values must be
+    # finite, ordered with R, and equal to the per-R spheroidal quotients
+    import jax
+    import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy as aen
+    from pinn_for_quantum_wavefunction_surfaces_tpu.models import ansatz
+
+    cfg = pqs.smoke_config(dtype="float64")
+    params = ansatz.init_params(jax.random.PRNGKey(0), cfg.model)
+    table = etab.build_table(params, cfg, n_knots=5, n_xi=24, n_eta=24)
+    assert table["R"].shape == (5,) and np.all(np.isfinite(table["E"]))
+    want = aen.rayleigh_quotient_spheroidal(params, cfg,
+                                            float(table["R"][2]),
+                                            n_xi=24, n_eta=24)
+    assert abs(table["E"][2] - want) < 1e-12
