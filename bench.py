@@ -25,7 +25,8 @@ import time
 
 
 def measure_ours(n: int, steps: int, dtype: str,
-                 arch: str = "symmetric", repeats: int = 3) -> dict:
+                 arch: str = "symmetric", repeats: int = 3,
+                 kernel: str = "xla") -> dict:
     import jax
     import dataclasses
     import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
@@ -34,7 +35,8 @@ def measure_ours(n: int, steps: int, dtype: str,
     cfg = pqs.Config(dtype=dtype, model=pqs.ModelConfig(arch=arch))
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, n_train=n,
-                                       epochs=10 ** 9, scan_chunk=steps))
+                                       epochs=10 ** 9, scan_chunk=steps,
+                                       kernel=kernel))
     opt = engine.make_optimizer(cfg)
     state = engine.init_state(jax.random.PRNGKey(0), cfg, opt)
     step = engine.make_step(cfg, opt)
@@ -94,6 +96,7 @@ def measure_ours(n: int, steps: int, dtype: str,
         "final_loss": float(hist.l_tot[-1]),
         "flops_per_point": flops_per_point,
         "flops_source": flops_src,
+        "kernel": kernel,
     }
 
 
@@ -198,15 +201,18 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3,
                     help="timed chunks per arch; best is reported, "
                          "median/worst recorded as dispersion")
+    ap.add_argument("--kernel", default="xla", choices=["xla", "pallas"],
+                    help="residual kernel for the measured train step")
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
 
     ours = measure_ours(args.n, args.steps, args.dtype,
-                        args.arch or "symmetric", repeats=args.repeats)
+                        args.arch or "symmetric", repeats=args.repeats,
+                        kernel=args.kernel)
     flagship = None
     if args.arch is None:
         flagship = measure_ours(args.n, args.steps, args.dtype, "separable",
-                                repeats=args.repeats)
+                                repeats=args.repeats, kernel=args.kernel)
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_baseline.json")

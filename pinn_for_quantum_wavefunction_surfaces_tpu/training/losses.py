@@ -50,9 +50,14 @@ def loss_fn(params: dict, cfg: Config, batch: Batch,
     ar = (lambda v: v) if allreduce is None else allreduce
     if cfg.train.kernel == "pallas":
         # fused Pallas train kernel (custom VJP); interpret mode on CPU so
-        # the same config runs in tests and on the virtual mesh
-        from ..ops.pallas_train import psi_lap_train
-        psi_v, lap_v, e = psi_lap_train(
+        # the same config runs in tests and on the virtual mesh. The kernel
+        # is selected by the PARAMS (families have distinct subtrees), like
+        # ansatz.psi_fwdlap's own dispatch
+        if "lam1" in params:
+            from ..ops.pallas_separable import psi_lap_train_separable as plt
+        else:
+            from ..ops.pallas_train import psi_lap_train as plt
+        psi_v, lap_v, e = plt(
             params, cfg.model, batch.x, batch.y, batch.z, batch.r,
             interpret=jax.default_backend() == "cpu")
     else:

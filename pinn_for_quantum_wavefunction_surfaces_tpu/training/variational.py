@@ -84,10 +84,20 @@ def quotient_loss(params: dict, cfg: Config, vb: VBatch,
     """(loss, aux): mean Rayleigh quotient over the R draw + head MSE."""
     n_r, n_pts = vb.x.shape
     rr = jnp.broadcast_to(vb.r[:, None], (n_r, n_pts)).reshape(-1)
-    s, _ = ansatz.psi_fwdlap(params, cfg.model, vb.x.reshape(-1),
-                             vb.y.reshape(-1), vb.z.reshape(-1), rr)
-    psi = s.v[..., 0].reshape(n_r, n_pts)
-    lap = s.l[..., 0].reshape(n_r, n_pts)
+    if cfg.train.kernel == "pallas" and "lam1" in params:
+        # fused separable training kernel on the quotient hot path too, so
+        # the flagship (variational) recipe can run through it
+        from ..ops.pallas_separable import psi_lap_train_separable
+        psi_f, lap_f, _ = psi_lap_train_separable(
+            params, cfg.model, vb.x.reshape(-1), vb.y.reshape(-1),
+            vb.z.reshape(-1), rr, interpret=jax.default_backend() == "cpu")
+        psi = psi_f.reshape(n_r, n_pts)
+        lap = lap_f.reshape(n_r, n_pts)
+    else:
+        s, _ = ansatz.psi_fwdlap(params, cfg.model, vb.x.reshape(-1),
+                                 vb.y.reshape(-1), vb.z.reshape(-1), rr)
+        psi = s.v[..., 0].reshape(n_r, n_pts)
+        lap = s.l[..., 0].reshape(n_r, n_pts)
     v = operators.potential(cfg.model, vb.x, vb.y, vb.z,
                             vb.r[:, None])
     hpsi = -0.5 * lap + v * psi
