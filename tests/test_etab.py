@@ -79,3 +79,25 @@ def test_build_table_smoke():
                                             float(table["R"][2]),
                                             n_xi=24, n_eta=24)
     assert abs(table["E"][2] - want) < 1e-12
+
+
+def test_shipped_table_artifact_golden():
+    """Golden regression on the shipped evaluated artifact's spline table:
+    the exported E(R) (scored as E_net) stays within 0.005 mHa of the exact
+    ODE oracle at probe Rs INCLUDING off-knot points — the table inherits
+    psi's accuracy (0.0004 mHa mean), not the MLP head's 0.007 fit floor."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "evaluated.npz")
+    if not os.path.exists(path):
+        pytest.skip("evaluated artifact not present")
+    table = etab.load_table(path)
+    if table is None:
+        pytest.skip("artifact predates the table export")
+    r_probe = np.array([0.2, 0.5137, 1.0, 1.7717, 2.0, 3.3331, 4.0])
+    err_mha = 1e3 * np.abs(etab.energy_from_table(table, r_probe)
+                           - aen.exact_energy_ode(r_probe))
+    assert err_mha.max() <= 0.005, err_mha
