@@ -196,6 +196,49 @@ def dispersion_figure(sweep_out: dict, path: str = "figures/dispersion.pdf",
     return _save(fig, path)
 
 
+def dispersion_gap_figure(sweeps: dict, path: str = "figures/dispersion.pdf",
+                          parametric: dict | None = None,
+                          oracle: str = "ode") -> str:
+    """The variational-gap-per-R picture (the payoff of the deterministic
+    per-R polish, reference counterpart ``plot_EforR`` poc/main.py:880-910):
+
+    top — E + 1/(2R) for each per-R-polished family vs the exact curve;
+    bottom — signed per-R error vs the exact ODE oracle on a log scale,
+    one line per ansatz family (their per-R variational floors), plus the
+    parametric flagship surface if given (the single-model-vs-family gap).
+
+    ``sweeps``: {label: sweep_out} from training.sweep.polish_per_r.
+    """
+    fig, (ax, axe) = plt.subplots(
+        2, 1, figsize=(6.4, 7.2), sharex=True,
+        gridspec_kw={"height_ratios": [2, 1.4]})
+    rs = np.concatenate([np.asarray(s["R"]) for s in sweeps.values()])
+    exact_r = np.linspace(rs.min(), rs.max(), 200)
+    exact_fn = (aen.exact_energy_ode if oracle == "ode" else
+                aen.exact_energy)
+    ax.plot(exact_r, exact_fn(exact_r) + 0.5 / exact_r, "k-", lw=1,
+            label="exact (ODE oracle)")
+    markers = ["o", "s", "^", "d"]
+    for i, (label, out) in enumerate(sweeps.items()):
+        r = np.asarray(out["R"])
+        e = np.asarray(out["E_net"])
+        ax.plot(r, e + 0.5 / r, markers[i % 4], ms=3.5, label=label)
+        axe.semilogy(r, np.maximum(1e3 * (e - exact_fn(r)), 1e-9),
+                     markers[i % 4] + "-", ms=3.5, lw=0.8, label=label)
+    if parametric is not None:
+        rp = np.asarray(parametric["R"])
+        axe.semilogy(rp, np.maximum(
+            1e3 * (np.asarray(parametric["E_int"]) - exact_fn(rp)), 1e-9),
+            "k--", lw=1, label="parametric flagship (E_int)")
+    ax.set_ylabel("E + 1/(2R) (Ha)")
+    ax.legend(fontsize=8)
+    axe.set_xlabel("R (bohr, half-distance)")
+    axe.set_ylabel("E - E_exact (mHa)")
+    axe.legend(fontsize=7)
+    axe.grid(True, which="both", alpha=0.25)
+    return _save(fig, path)
+
+
 def paper_grid_figure(params, cfg: Config, surf: dict,
                       path: str = "figures/fig2.pdf",
                       cut_rs=(4.0, 3.0, 2.0, 1.0)) -> str:
