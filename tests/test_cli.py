@@ -97,3 +97,22 @@ def test_analyze_paper_set(tmp_path, capsys):
     for name in PAPER_SET_NAMES:
         path = os.path.join(figs, name)
         assert path in produced and os.path.exists(path), name
+
+
+def test_variational_mesh_pod_recipe(tmp_path, capsys):
+    """The multi-chip (pod) recipe, end-to-end on the 8-device virtual mesh:
+    multi-R spheroidal quadrature training sharded over the R axis
+    (``cli variational --spheroidal --mesh 8`` — docs/DESIGN.md pod demo).
+    Absolute scaling numbers need real chips; this pins the recipe runs."""
+    out = str(tmp_path / "pod")
+    # adam-warmup phase only: the L-BFGS zoom-linesearch executable takes
+    # ~3 min to compile on the virtual mesh and adds no sharding coverage
+    # (tests/test_parallel pins sharded-polish equivalence separately)
+    last = _run(capsys, ["variational", "--out", out, "--arch", "separable",
+                         "--adam-warmup", "6", "--lbfgs", "0",
+                         "--spheroidal", "--mesh", "8",
+                         "--n-r", "8", "--n-xi", "12", "--n-eta", "8",
+                         "--dtype", "float64"])
+    rec = json.loads(last)
+    assert rec["spheroidal"] is True and rec["polish"] == "spheroidal-adam"
+    assert os.path.exists(os.path.join(out, "variational.npz"))
