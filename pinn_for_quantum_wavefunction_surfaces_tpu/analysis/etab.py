@@ -121,6 +121,37 @@ def energy_from_table(table: dict, r) -> np.ndarray:
     return spline_eval(x, y, cubic_spline_coeffs(x, y), r)
 
 
+def spline_eval_deriv(x: np.ndarray, y: np.ndarray, m: np.ndarray,
+                      r) -> np.ndarray:
+    """d/dr of the cubic spline — closed form, no finite differences."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    r = np.atleast_1d(np.asarray(r, np.float64))
+    i = np.clip(np.searchsorted(x, r) - 1, 0, len(x) - 2)
+    h = x[i + 1] - x[i]
+    t = r - x[i]
+    u = x[i + 1] - r
+    return (-m[i] * u ** 2 + m[i + 1] * t ** 2) / (2.0 * h) \
+        - (y[i] / h - m[i] * h / 6.0) + (y[i + 1] / h - m[i + 1] * h / 6.0)
+
+
+def force_from_table(table: dict, r) -> np.ndarray:
+    """F = -dE_total/dR from the exported table, with the nuclear repulsion
+    term: E_total = E_el(R) + 1/(2R) (R is the HALF distance — reference
+    poc/main.py:862,1179), so F = -E_el'(R) + 1/(2R^2).
+
+    The spline derivative inherits the table's machine-precision quadrature
+    values — unlike the reference's force routes (autograd through the MLP
+    head / finite differences / Hellmann-Feynman integral, reference
+    poc/main.py:639-676,1307-1489), there is no head-fit or MC error in the
+    chain. Those three routes remain in analysis/forces.py for parity."""
+    x = np.asarray(table["R"], np.float64)
+    y = np.asarray(table["E"], np.float64)
+    r = np.atleast_1d(np.asarray(r, np.float64))
+    de = spline_eval_deriv(x, y, cubic_spline_coeffs(x, y), r)
+    return -de + 0.5 / r ** 2
+
+
 def load_table(path: str) -> Optional[dict]:
     """The ``e_table`` subtree of a native checkpoint, or None if absent."""
     from ..io import checkpoint

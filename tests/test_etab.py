@@ -101,3 +101,38 @@ def test_shipped_table_artifact_golden():
     err_mha = 1e3 * np.abs(etab.energy_from_table(table, r_probe)
                            - aen.exact_energy_ode(r_probe))
     assert err_mha.max() <= 0.005, err_mha
+
+
+def test_spline_derivative_matches_scipy():
+    scipy_interp = pytest.importorskip("scipy.interpolate")
+    x = np.linspace(0.2, 4.0, 31)
+    y = np.sin(2 * x) - 1.0 / (x + 0.3)
+    m = etab.cubic_spline_coeffs(x, y)
+    r = np.linspace(0.25, 3.95, 101)
+    ours = etab.spline_eval_deriv(x, y, m, r)
+    ref = scipy_interp.CubicSpline(x, y)(r, 1)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-11)
+
+
+def test_force_from_shipped_table_matches_hellmann_feynman_sign():
+    """Force from the exported table: at the equilibrium half-distance
+    (R ~ 1.0, D = 2R ~ 2 a0) the total-energy force crosses zero; check the
+    shipped table localises the equilibrium to ~1e-3 bohr of the exact
+    oracle's minimum."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "evaluated.npz")
+    if not os.path.exists(path):
+        pytest.skip("evaluated artifact not present")
+    table = etab.load_table(path)
+    if table is None:
+        pytest.skip("artifact predates the table export")
+    r = np.linspace(0.9, 1.1, 201)
+    f = etab.force_from_table(table, r)
+    r0 = r[np.argmin(np.abs(f))]
+    e_tot = aen.exact_energy_ode(r) + 0.5 / r
+    r0_exact = r[np.argmin(e_tot)]
+    assert abs(r0 - r0_exact) < 1.5e-3, (r0, r0_exact)
