@@ -28,6 +28,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)   # f64 polish (f32 LBFGS diverges)
+
 import pinn_for_quantum_wavefunction_surfaces_tpu as pqs  # noqa: E402
 from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import (  # noqa: E402
     energy as aen, plots)

@@ -133,3 +133,18 @@ def test_plots_smoke(ref_params, tmp_path):
     import os
     for p in (p1, p2, p3, p4, p5):
         assert os.path.getsize(p) > 0
+
+
+def test_shipped_figure_pack_complete():
+    """Every name in the reference's figure set (PAPER_SET_NAMES) ships in
+    artifacts/figures — including loss_figure.pdf, generated from a real
+    5000-epoch f64 reference-recipe run (runs/ref_recipe)."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis.plots import \
+        PAPER_SET_NAMES
+
+    fig_dir = os.path.join(os.path.dirname(__file__), "..",
+                           "artifacts", "figures")
+    missing = [n for n in PAPER_SET_NAMES
+               if not os.path.exists(os.path.join(fig_dir, n))]
+    assert not missing, missing
