@@ -490,6 +490,21 @@ def cmd_sweep(args) -> None:
 
 def cmd_export(args) -> None:
     from .io import checkpoint, modelbin, torch_pt
+    if args.output.endswith(".csv"):
+        # standalone E(R) table export (the spline knots from cli evaluate):
+        # R,E_electronic,E_total rows for non-Python consumers
+        from .analysis import etab
+        table = etab.load_table(args.input)
+        if table is None:
+            raise SystemExit(f"{args.input} carries no e_table subtree — "
+                             "run `cli evaluate` first (--table-knots)")
+        with open(args.output, "w") as f:
+            f.write("R,E_electronic,E_total\n")
+            for r, e in zip(table["R"], table["E"]):
+                f.write(f"{r:.12g},{e:.15g},{e + 0.5 / r:.15g}\n")
+        print(json.dumps({"written": args.output,
+                          "knots": len(table["R"])}))
+        return
     params = _load_params(args.input)
     if args.output.endswith(".bin"):
         modelbin.save_params(args.output, params)
