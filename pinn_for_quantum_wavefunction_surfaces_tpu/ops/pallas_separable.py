@@ -54,11 +54,19 @@ def _s_add(a, b):
     return a + b
 
 
+def _row0(c, shape, dtype):
+    """Lift a spatially-constant offset into the value row of a (5, S, L)
+    stack WITHOUT a scatter (Mosaic has no scatter-add lowering): concat
+    [c, 0, 0, 0, 0] along the leading axis. Its vjp is a slice — cheap."""
+    c = jnp.broadcast_to(c, shape).astype(dtype)
+    return jnp.concatenate([c[None], jnp.zeros((4,) + shape, dtype)])
+
+
 def _s_affine(a, w, c):
-    """w * a + c where w is a weight scalar and c a spatially-constant
-    (S, L) offset: only the value row shifts."""
-    out = a * w
-    return out.at[0].add(c)
+    """w * a + c where w is a weight scalar (ONE tensor use — the
+    vjp-transpose of a broadcast is a full-tile reduction, see
+    pallas_train._envelope) and c a spatially-constant value-row offset."""
+    return a * w + _row0(c, a.shape[1:], a.dtype)
 
 
 def _s_mul(a, b):
@@ -101,9 +109,9 @@ def _mlp_tanh_branch(w1, b1, w2, b2, ow, ob, sp, cf, hidden):
         lin = a1[0] * w2[0, j]
         for i in range(1, hidden):
             lin = lin + a1[i] * w2[i, j]
-        a2 = _s_tanh(lin.at[0].add(b2[0, j]))
+        a2 = _s_tanh(lin + _row0(b2[0, j], lin.shape[1:], lin.dtype))
         out = out + a2 * ow[j, 0]
-    return out.at[0].add(ob[0, 0])
+    return out + _row0(ob[0, 0], out.shape[1:], out.dtype)
 
 
 def _gz_stack(d1x, d1y, d1z, r1, inv1, d2x, d2y, d2z, r2, inv2, a, b):

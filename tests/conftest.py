@@ -24,6 +24,18 @@ except Exception:
     pass
 jax.config.update("jax_enable_x64", True)
 
+# persistent XLA compilation cache: the suite is compile-dominated (f64
+# L-BFGS/polish executables take 10-60 s each to build on this 1-core
+# host); caching them across runs cuts repeat wall time several-fold.
+# Keyed by HLO hash — stale entries are impossible, only disk is spent.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..",
+                          ".jax_compilation_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 

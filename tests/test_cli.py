@@ -66,8 +66,8 @@ def test_variational_spheroidal_cli(tmp_path, capsys):
     out2 = str(tmp_path / "pol")
     last = _run(capsys, ["variational", os.path.join(out1, "best.npz"),
                          "--out", out2, "--arch", "separable",
-                         "--lbfgs", "3", "--adam-warmup", "5", "--spheroidal",
-                         "--n-r", "3", "--n-xi", "16", "--n-eta", "16",
+                         "--lbfgs", "2", "--adam-warmup", "3", "--spheroidal",
+                         "--n-r", "3", "--n-xi", "10", "--n-eta", "8",
                          "--dtype", "float64"])
     rec = json.loads(last)
     assert rec["spheroidal"] is True

@@ -129,7 +129,7 @@ def test_training_step_with_pallas_kernel_reduces_loss():
         cfg,
         model=pqs.ModelConfig(arch="separable", hidden=4),
         train=dataclasses.replace(cfg.train, kernel="pallas",
-                                  epochs=12, n_train=512, scan_chunk=6))
+                                  epochs=6, n_train=256, scan_chunk=3))
     res = engine.train(cfg)
     h = res.history["Ltot"]
     assert np.isfinite(h).all()

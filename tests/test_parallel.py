@@ -161,7 +161,9 @@ def test_sharded_spheroidal_polish_matches_single_device():
                      model=pqs.ModelConfig(arch="separable"))
     params = ansatz.init_params(jax.random.PRNGKey(0), cfg.model,
                                 jnp.float64)
-    kw = dict(n_r=8, n_xi=16, n_eta=12, steps=6, adam_steps=4)
+    # smoke sizes: equivalence is shape-independent and the L-BFGS mesh
+    # executable dominates suite wall time (was 152 s at 16x12/6+4)
+    kw = dict(n_r=8, n_xi=10, n_eta=8, steps=3, adam_steps=2)
     ref = variational.polish_spheroidal(params, cfg, **kw)
     m = pmesh.make_mesh(8)
     got = variational.polish_spheroidal(params, cfg, mesh=m, **kw)

@@ -43,7 +43,7 @@ def test_polish_sweep_hits_exact_per_r():
     cfg = pqs.Config(dtype="float64",
                      model=pqs.ModelConfig(arch="separable"))
     rs = [1.0, 2.0]
-    out = sweep.polish_per_r(cfg, rs, steps=120, n_xi=32, n_eta=20)
+    out = sweep.polish_per_r(cfg, rs, steps=80, n_xi=24, n_eta=16)
     exact = aen.exact_energy_ode(np.asarray(rs))
     err = 1e3 * (out["E_net"] - exact)
     assert (err >= -1e-4).all(), err

@@ -38,7 +38,7 @@ def test_quotient_matches_quadrature():
     ri = 2.0
     cfgr = dataclasses.replace(
         cfg, domain=dataclasses.replace(cfg.domain, fixed_r=ri))
-    vb = variational.sample_vbatch(jax.random.PRNGKey(1), cfgr, 4, 60_000)
+    vb = variational.sample_vbatch(jax.random.PRNGKey(1), cfgr, 2, 50_000)
     _, aux = variational.quotient_loss(params, cfgr, vb)
     quad = aen.rayleigh_quotient_adapted(params, cfg, ri, n=100,
                                          which="lcao")
@@ -82,11 +82,17 @@ def test_antithetic_and_stratified_variance_reduction():
     cfg = dataclasses.replace(
         cfg, domain=dataclasses.replace(cfg.domain, fixed_r=1.0))
 
-    def estimate(key, antithetic):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames="antithetic")
+    def _est(key, antithetic):
         vb = variational.sample_vbatch(key, cfg, n_r=1, n_pts=2048,
                                        antithetic=antithetic)
         _, aux = variational.quotient_loss(params, cfg, vb)
-        return float(aux["e_r"][0])
+        return aux["e_r"][0]
+
+    def estimate(key, antithetic):
+        return float(_est(key, antithetic=antithetic))
 
     keys = jax.random.split(jax.random.PRNGKey(1), 40)
     plain = np.array([estimate(k, False) for k in keys])
@@ -145,10 +151,10 @@ def test_spheroidal_polish_descends_and_respects_variational_bound():
     from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy as aen
     cfg = pqs.smoke_config(dtype="float64")
     params = ansatz.init_params(jax.random.PRNGKey(0), cfg.model, jnp.float64)
-    out = variational.polish_spheroidal(params, cfg, n_r=3, n_xi=32,
-                                        n_eta=32, steps=25)
+    out = variational.polish_spheroidal(params, cfg, n_r=3, n_xi=24,
+                                        n_eta=24, steps=20)
     r_values = np.linspace(cfg.domain.r_lo, cfg.domain.r_hi, 3)
-    vb = variational.spheroidal_vbatch(cfg, n_xi=48, n_eta=48,
+    vb = variational.spheroidal_vbatch(cfg, n_xi=40, n_eta=40,
                                        r_values=r_values)
     _, aux0 = variational.quotient_loss(params, cfg, vb)
     _, aux = variational.quotient_loss(out, cfg, vb)
