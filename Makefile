@@ -3,7 +3,7 @@
 
 CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
-.PHONY: test bench train evaluate dryrun pallas-ab
+.PHONY: test bench train evaluate dryrun pallas-ab dispersion ref-recipe
 
 test:
 	$(CPU_ENV) python -m pytest tests/ -q
@@ -35,3 +35,20 @@ evaluate:
 dryrun:
 	$(CPU_ENV) XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	  python __graft_entry__.py dryrun 8
+
+# Per-R variational-floor study for both ansatz families (39 Rs each,
+# figure -> artifacts/figures/dispersion.pdf; ~1.5 h on this 1-core host)
+dispersion:
+	$(CPU_ENV) python benchmarks/dispersion.py
+
+# The reference's exact f64 recipe (5000 ep const lr + 2000 ep fine-tune),
+# 3 seeds on the TPU (~90 min), then CPU scoring vs the ODE oracle
+ref-recipe:
+	bash -c 'for seed in 12345 777 2024; do \
+	  python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli train \
+	    --out runs/ref_recipe/s$$seed/stage1 --dtype float64 --seed $$seed; \
+	  python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli finetune \
+	    runs/ref_recipe/s$$seed/stage1/best.npz \
+	    --out runs/ref_recipe/s$$seed/stage2 --dtype float64; \
+	done'
+	$(CPU_ENV) python benchmarks/ref_recipe_score.py

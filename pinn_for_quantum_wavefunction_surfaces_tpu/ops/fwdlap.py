@@ -206,3 +206,58 @@ def orbital_envelope(x: jax.Array, y: jax.Array, z: jax.Array,
     g = (grad_scale[..., None] * u)[..., :, None]            # (..., 3, 1)
     l = lap[..., None]
     return Spatial(v, g, l)
+
+
+# ---------------------------------------------------------------------------
+# 1-D scalar-chain propagation: when a subnetwork's only SPATIAL input is a
+# single scalar s (its other inputs constant in space — e.g. the separable
+# arch's lam(t; R) and mu(eta^2; R) bodies), carrying the full (v, g, l)
+# spatial tuple through every layer wastes 5/3 of the math: it suffices to
+# propagate the 1-D derivative triple (f, df/ds, d2f/ds2) and apply the
+# spatial chain rule ONCE at the end:
+#     grad f = f'(s) grad s,    lap f = f'(s) lap s + f''(s) |grad s|^2.
+
+
+class Scalar1D(NamedTuple):
+    """A value with its first/second derivatives w.r.t. ONE scalar input."""
+
+    v: jax.Array   # (..., d)
+    d1: jax.Array  # (..., d)
+    d2: jax.Array  # (..., d)
+
+
+def seed1d(s: jax.Array, consts: list[jax.Array],
+           w: jax.Array, b: jax.Array) -> Scalar1D:
+    """First affine layer of a scalar-chain body: inputs [s, *consts] where
+    only ``s`` is spatially varying (all shaped (..., 1)). The derivative
+    seed w.r.t. s is the first weight row."""
+    x = jnp.concatenate([s] + list(consts), axis=-1)
+    v = x @ w + b
+    d1 = jnp.broadcast_to(w[0], v.shape)
+    return Scalar1D(v, d1, jnp.zeros_like(v))
+
+
+def linear1d(t: Scalar1D, w: jax.Array, b: jax.Array | None = None) \
+        -> Scalar1D:
+    v = t.v @ w
+    if b is not None:
+        v = v + b
+    return Scalar1D(v, t.d1 @ w, t.d2 @ w)
+
+
+def tanh1d(t: Scalar1D) -> Scalar1D:
+    """(tanh o f)'' = tanh''(f) f'^2 + tanh'(f) f''."""
+    y = jnp.tanh(t.v)
+    g1 = 1.0 - y * y
+    g2 = -2.0 * y * g1
+    return Scalar1D(y, g1 * t.d1, g1 * t.d2 + g2 * t.d1 * t.d1)
+
+
+def chain(t: Scalar1D, s: Spatial) -> Spatial:
+    """Lift a scalar-chain triple f(s) onto s's spatial tuple (the chain
+    rule, applied once for the whole subnetwork). ``s`` has feature width 1;
+    the result takes f's width."""
+    g = t.d1[..., None, :] * s.g
+    gsq = jnp.sum(s.g * s.g, axis=-2)  # (..., 1)
+    l = t.d1 * s.l + t.d2 * gsq
+    return Spatial(t.v, g, l)

@@ -39,9 +39,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Separate tile sizes for the two kernels: the backward's tile-local vjp
+# holds ~2x the forward's live stacks (16 a1 activations + their transpose
+# residuals per MLP). With the full 5-stack MLP propagation, (32, 128)
+# overflowed the 16 MB scoped-VMEM limit by ~0.9 MB on v5e; the
+# scalar-chain bodies (3/5 the live state) fit at (32, 128) — measured
+# 63.8M pts/s there vs 38.6M at (16, 128) pre-chain.
 _SUB = int(os.environ.get("PALLAS_SEP_SUB", 32))
+_SUB_B = int(os.environ.get("PALLAS_SEP_SUB_BWD", 32))
 _LANE = 128
-_TILE = _SUB * _LANE
 
 
 # ---------------------------------------------------------------------------
@@ -54,12 +60,12 @@ def _s_add(a, b):
     return a + b
 
 
-def _row0(c, shape, dtype):
-    """Lift a spatially-constant offset into the value row of a (5, S, L)
-    stack WITHOUT a scatter (Mosaic has no scatter-add lowering): concat
-    [c, 0, 0, 0, 0] along the leading axis. Its vjp is a slice — cheap."""
+def _row0(c, shape, dtype, rows=5):
+    """Lift a spatially-constant offset into the value row of a stacked
+    array WITHOUT a scatter (Mosaic has no scatter-add lowering): concat
+    [c, 0, ...] along the leading axis. Its vjp is a slice — cheap."""
     c = jnp.broadcast_to(c, shape).astype(dtype)
-    return jnp.concatenate([c[None], jnp.zeros((4,) + shape, dtype)])
+    return jnp.concatenate([c[None], jnp.zeros((rows - 1,) + shape, dtype)])
 
 
 def _s_affine(a, w, c):
@@ -96,22 +102,50 @@ def _s_tanh(a):
                       d1 * a[4] + d2 * gsq])
 
 
-def _mlp_tanh_branch(w1, b1, w2, b2, ow, ob, sp, cf, hidden):
-    """Stacked pass of tanh(W2 tanh(W1 [sp, cf] + b1) + b2) @ ow + ob where
-    ``sp`` is the (5, S, L) spatial feature stack and ``cf`` the (S, L)
-    spatially-constant second feature (0.25 R). Unrolled over the width so
-    each weight scalar multiplies exactly ONE tensor (the vjp-transpose of a
-    broadcast is a full-tile reduction — see pallas_train._envelope)."""
-    a1 = [_s_tanh(_s_affine(sp, w1[0, j], cf * w1[1, j] + b1[0, j]))
+def _t_tanh(a):
+    """tanh on a 1-D derivative TRIPLE [f, df/ds, d2f/ds2] (the scalar-chain
+    representation): (tanh o f)'' = tanh''(f) f'^2 + tanh'(f) f''."""
+    t = jnp.tanh(a[0])
+    d1 = 1.0 - t * t
+    d2 = -2.0 * t * d1
+    return jnp.stack([t, d1 * a[1], d1 * a[2] + d2 * a[1] * a[1]])
+
+
+def _mlp_tanh_scalar(w1, b1, w2, b2, ow, ob, s, cf, hidden):
+    """The key structural win over the generic 5-stack propagation: each
+    separable MLP sees exactly ONE spatial scalar (t or eta^2; the other
+    input 0.25R is spatially constant), so the whole body runs on 1-D
+    derivative triples [v, d/ds, d2/ds2] — 3/5 of the math and live VMEM of
+    the full (v, gx, gy, gz, lap) stacks, with the spatial chain rule
+    applied ONCE by the caller. Still one tensor use per weight scalar (the
+    vjp-transpose of a broadcast is a full-tile reduction).
+
+    s: (S, L) scalar feature; cf: (S, L) spatially-constant feature.
+    Returns the (3, S, L) triple of the MLP output w.r.t. s."""
+    ones = jnp.ones_like(s)
+    seed = jnp.stack([s, ones, jnp.zeros_like(s)])
+    a1 = [_t_tanh(seed * w1[0, j]
+                  + _row0(cf * w1[1, j] + b1[0, j], s.shape, s.dtype,
+                          rows=3))
           for j in range(hidden)]
     out = 0.0
     for j in range(hidden):
         lin = a1[0] * w2[0, j]
         for i in range(1, hidden):
             lin = lin + a1[i] * w2[i, j]
-        a2 = _s_tanh(lin + _row0(b2[0, j], lin.shape[1:], lin.dtype))
+        a2 = _t_tanh(lin + _row0(b2[0, j], s.shape, s.dtype, rows=3))
         out = out + a2 * ow[j, 0]
-    return out + _row0(ob[0, 0], out.shape[1:], out.dtype)
+    return out + _row0(ob[0, 0], s.shape, s.dtype, rows=3)
+
+
+def _chain5(triple, sp):
+    """Spatial chain rule, applied once per MLP: lift the 1-D triple
+    [f, f', f''] of f(s) onto s's (5, S, L) spatial stack:
+        grad f = f'(s) grad s,   lap f = f'(s) lap s + f''(s) |grad s|^2."""
+    f, d1, d2 = triple[0], triple[1], triple[2]
+    gsq = sp[1] * sp[1] + sp[2] * sp[2] + sp[3] * sp[3]
+    return jnp.stack([f, d1 * sp[1], d1 * sp[2], d1 * sp[3],
+                      d1 * sp[4] + d2 * gsq])
 
 
 def _gz_stack(d1x, d1y, d1z, r1, inv1, d2x, d2y, d2z, r2, inv2, a, b):
@@ -159,18 +193,27 @@ def _core(weights, a, b, x, y, z, r, *, hidden, p_sym, ry, rz):
     eta2 = _s_mul(eta, eta)
     r_feat = 0.25 * r
 
-    lam = _mlp_tanh_branch(l1w, l1b, l2w, l2b, low, lob, t, r_feat, hidden)
-    mu = _mlp_tanh_branch(m1w, m1b, m2w, m2b, mow, mob, eta2, r_feat, hidden)
+    # the MLP bodies run on 1-D scalar-chain triples (see _mlp_tanh_scalar);
+    # the spatial chain rule lifts them back onto the feature stacks once
+    lam = _chain5(_mlp_tanh_scalar(l1w, l1b, l2w, l2b, low, lob,
+                                   t[0], r_feat, hidden), t)
+    mu = _chain5(_mlp_tanh_scalar(m1w, m1b, m2w, m2b, mow, mob,
+                                  eta2[0], r_feat, hidden), eta2)
     c = _LOG_CORR_CAP
     corr = _s_exp(_s_tanh((lam + mu) * (1.0 / c)) * c)
     psi = _s_mul(phi, corr)
     return psi[0], psi[4]
 
 
-def _pad_points(arr, n_pad, value):
+def _pad_points(arr, n_pad, value, sub):
     n = arr.shape[0]
     return jnp.pad(arr, (0, n_pad - n),
-                   constant_values=value).reshape(-1, _SUB, _LANE)
+                   constant_values=value).reshape(-1, sub, _LANE)
+
+
+def _pt_spec(sub):
+    return pl.BlockSpec((1, sub, _LANE), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 _W_NAMES = (("lam1", "w"), ("lam1", "b"), ("lam2", "w"), ("lam2", "b"),
@@ -196,8 +239,6 @@ def make_fused_psi_lap_separable(hidden: int, p_sym: int, ry: float,
     stop-gradients the point coordinates (psi_lap_train_separable does).
     """
     core = functools.partial(_core, hidden=hidden, p_sym=p_sym, ry=ry, rz=rz)
-    pt_spec = pl.BlockSpec((1, _SUB, _LANE), lambda i: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     w_shapes = ((2, hidden), (1, hidden), (hidden, hidden), (1, hidden),
                 (hidden, 1), (1, 1)) * 2
@@ -243,15 +284,17 @@ def make_fused_psi_lap_separable(hidden: int, p_sym: int, ry: float,
     def run_fwd(*args):
         ws, (a, b, x, y, z, r) = args[:12], args[12:]
         n = x.shape[0]
-        n_pad = -(-n // _TILE) * _TILE
+        tile = _SUB * _LANE
+        n_pad = -(-n // tile) * tile
         dtype = x.dtype
-        pts = [_pad_points(v, n_pad, 1.0) for v in (x, y, z, r)]
-        ab = [_pad_points(v, n_pad, 1.0) for v in (a, b)]
+        pts = [_pad_points(v, n_pad, 1.0, _SUB) for v in (x, y, z, r)]
+        ab = [_pad_points(v, n_pad, 1.0, _SUB) for v in (a, b)]
+        spec = _pt_spec(_SUB)
         psi, lap = pl.pallas_call(
             fwd_kernel,
-            grid=(n_pad // _TILE,),
-            in_specs=[pt_spec] * 6 + [w_spec] * 12,
-            out_specs=[pt_spec, pt_spec],
+            grid=(n_pad // tile,),
+            in_specs=[spec] * 6 + [w_spec] * 12,
+            out_specs=[spec, spec],
             out_shape=[jax.ShapeDtypeStruct(pts[0].shape, dtype)] * 2,
             interpret=interpret,
         )(*pts, *ab, *ws)
@@ -268,20 +311,22 @@ def make_fused_psi_lap_separable(hidden: int, p_sym: int, ry: float,
         ws, (a, b, x, y, z, r) = args[:12], args[12:]
         dpsi, dlap = cts
         n = x.shape[0]
-        n_pad = -(-n // _TILE) * _TILE
+        tile = _SUB_B * _LANE
+        n_pad = -(-n // tile) * tile
         dtype = x.dtype
-        pts = [_pad_points(v, n_pad, 1.0) for v in (x, y, z, r)]
-        ab = [_pad_points(v, n_pad, 1.0) for v in (a, b)]
+        pts = [_pad_points(v, n_pad, 1.0, _SUB_B) for v in (x, y, z, r)]
+        ab = [_pad_points(v, n_pad, 1.0, _SUB_B) for v in (a, b)]
         # padded points carry ZERO cotangents: they must not pollute the
         # accumulated weight gradients
-        dcts = [_pad_points(v, n_pad, 0.0) for v in (dpsi, dlap)]
+        dcts = [_pad_points(v, n_pad, 0.0, _SUB_B) for v in (dpsi, dlap)]
         pt_shape = jax.ShapeDtypeStruct(pts[0].shape, dtype)
-        n_tiles = n_pad // _TILE
+        n_tiles = n_pad // tile
+        spec = _pt_spec(_SUB_B)
         outs = pl.pallas_call(
             bwd_kernel,
             grid=(n_tiles,),
-            in_specs=[pt_spec] * 6 + [w_spec] * 12 + [pt_spec] * 2,
-            out_specs=[pt_spec] * n_pt_outs + [
+            in_specs=[spec] * 6 + [w_spec] * 12 + [spec] * 2,
+            out_specs=[spec] * n_pt_outs + [
                 pl.BlockSpec((1,) + s, lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM) for s in w_shapes],
             out_shape=[pt_shape] * n_pt_outs + [
