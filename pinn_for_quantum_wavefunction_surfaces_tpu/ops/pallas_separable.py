@@ -43,10 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 # holds ~2x the forward's live stacks (16 a1 activations + their transpose
 # residuals per MLP). With the full 5-stack MLP propagation, (32, 128)
 # overflowed the 16 MB scoped-VMEM limit by ~0.9 MB on v5e; the
-# scalar-chain bodies (3/5 the live state) fit at (32, 128) — measured
-# 63.8M pts/s there vs 38.6M at (16, 128) pre-chain.
+# scalar-chain bodies (3/5 the live state) fit up to (48, 128) — measured
+# 38.6M pts/s (16, pre-chain) -> 63.8M (32) -> 76.1M (48); (64, 128) OOMs.
 _SUB = int(os.environ.get("PALLAS_SEP_SUB", 32))
-_SUB_B = int(os.environ.get("PALLAS_SEP_SUB_BWD", 32))
+_SUB_B = int(os.environ.get("PALLAS_SEP_SUB_BWD", 48))
 _LANE = 128
 
 
