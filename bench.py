@@ -26,7 +26,7 @@ import time
 
 def measure_ours(n: int, steps: int, dtype: str,
                  arch: str = "symmetric", repeats: int = 3,
-                 kernel: str = "xla") -> dict:
+                 kernel: str = "xla", remat: bool = False) -> dict:
     import jax
     import dataclasses
     import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
@@ -36,7 +36,7 @@ def measure_ours(n: int, steps: int, dtype: str,
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, n_train=n,
                                        epochs=10 ** 9, scan_chunk=steps,
-                                       kernel=kernel))
+                                       kernel=kernel, remat=remat))
     opt = engine.make_optimizer(cfg)
     state = engine.init_state(jax.random.PRNGKey(0), cfg, opt)
     step = engine.make_step(cfg, opt)
@@ -203,16 +203,20 @@ def main() -> None:
                          "median/worst recorded as dispersion")
     ap.add_argument("--kernel", default="xla", choices=["xla", "pallas"],
                     help="residual kernel for the measured train step")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the fwdlap pass (HBM-bound large-n "
+                         "regime; see TrainConfig.remat)")
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
 
     ours = measure_ours(args.n, args.steps, args.dtype,
                         args.arch or "symmetric", repeats=args.repeats,
-                        kernel=args.kernel)
+                        kernel=args.kernel, remat=args.remat)
     flagship = None
     if args.arch is None:
         flagship = measure_ours(args.n, args.steps, args.dtype, "separable",
-                                repeats=args.repeats, kernel=args.kernel)
+                                repeats=args.repeats, kernel=args.kernel,
+                                remat=args.remat)
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_baseline.json")

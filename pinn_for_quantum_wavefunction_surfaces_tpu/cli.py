@@ -49,7 +49,9 @@ def _build_cfg(args) -> "object":
                               getattr(args, "scale_invariant", None) or None),
                              ("correction_reg",
                               getattr(args, "correction_reg", None)),
-                             ("kernel", getattr(args, "kernel", None)))
+                             ("kernel", getattr(args, "kernel", None)),
+                             ("remat",
+                              getattr(args, "remat", False) or None))
            if v is not None})
     domain = cfg.domain
     if getattr(args, "fixed_r", None) is not None:
@@ -86,6 +88,10 @@ def _add_common(p, train=False):
                    help="residual kernel for the train step: XLA fwdlap "
                         "autodiff (default) or the fused Pallas custom-VJP "
                         "kernel (symmetric family, f32)")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the fwdlap pass (recompute instead "
+                        "of storing residuals; helps only HBM-bound large "
+                        "batches, n >= ~1M)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64", "bfloat16"])
     p.add_argument("--state", default="gerade",

@@ -142,6 +142,12 @@ class TrainConfig:
     # hand-fused Pallas train kernel with custom VJP (ops/pallas_train.py) —
     # symmetric-arch models incl. the alpha/GZ flagship, float32.
     kernel: str = "xla"          # "xla" | "pallas"
+    # Rematerialise the fused forward-Laplacian pass in the backward
+    # instead of keeping its residuals in HBM (jax.checkpoint). At the
+    # reference's n=100k batch the residuals stay resident and remat only
+    # adds FLOPs; at n >= ~1M the step turns HBM-bound and remat trades
+    # ~1.3x FLOPs for the bandwidth (measured in RESULTS.md).
+    remat: bool = False
 
     def __post_init__(self):
         if self.kernel not in ("xla", "pallas"):

@@ -61,8 +61,13 @@ def loss_fn(params: dict, cfg: Config, batch: Batch,
             params, cfg.model, batch.x, batch.y, batch.z, batch.r,
             interpret=jax.default_backend() == "cpu")
     else:
-        s, e = ansatz.psi_fwdlap(params, cfg.model, batch.x, batch.y,
-                                 batch.z, batch.r)
+        fwd = ansatz.psi_fwdlap
+        if cfg.train.remat:
+            # recompute the fwdlap pass in the backward instead of
+            # materialising its residuals through HBM (config.remat)
+            fwd = jax.checkpoint(fwd, static_argnums=(1,))
+        s, e = fwd(params, cfg.model, batch.x, batch.y,
+                   batch.z, batch.r)
         psi_v, lap_v = s.v[..., 0], s.l[..., 0]
     res = operators.RESIDUALS[cfg.convention](
         cfg.model, batch.x, batch.y, batch.z, batch.r, psi_v, lap_v, e)

@@ -78,3 +78,29 @@ def test_minimal_convention_residual():
     got = operators.residual_minimal(cfg.model, b.x, b.y, b.z, b.r,
                                      s.v[..., 0], s.l[..., 0], e)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-12)
+
+
+def test_remat_loss_and_grads_identical():
+    """TrainConfig.remat recomputes the fwdlap pass in the backward — the
+    loss and every gradient must be bitwise-compatible with the default
+    (same math, different residual schedule)."""
+    import dataclasses
+    import jax
+    import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
+    from pinn_for_quantum_wavefunction_surfaces_tpu.models import ansatz
+    from pinn_for_quantum_wavefunction_surfaces_tpu.ops.sampling import \
+        sample_batch
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import losses
+
+    cfg = pqs.smoke_config(dtype="float64")
+    params = ansatz.init_params(jax.random.PRNGKey(0), cfg.model)
+    batch = sample_batch(jax.random.PRNGKey(1), cfg, n=512)
+    cfg_r = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, remat=True))
+    (l0, _), g0 = jax.value_and_grad(losses.loss_fn, has_aux=True)(
+        params, cfg, batch)
+    (l1, _), g1 = jax.value_and_grad(losses.loss_fn, has_aux=True)(
+        params, cfg_r, batch)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-14)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-15), g1, g0)
