@@ -41,12 +41,31 @@ import functools
 
 import numpy as np
 
-STATES = ("1ssg", "2psu")  # gerade ground, ungerade first excited (m = 0)
+# m = 0 sigma states as (parity, angular branch, radial root index):
+#   parity +1/-1 selects even/odd Legendre sectors (gerade/ungerade);
+#   branch k is the angular eigenvalue continuing from l = 2k + (parity<0)
+#     at c = 0 (k eta-node pairs beyond the parity minimum);
+#   root j is the j-th zero of the Jaffe radial condition scanning E upward
+#     (j radial nodes in xi).
+# United-atom labels: 1ssg (ground), 2psu (first ungerade), 2ssg (second
+# gerade, one xi node), 3dsg (gerade, two eta nodes), 3psu (ungerade, one
+# xi node).
+STATE_INDEX = {
+    "1ssg": (1, 0, 0),
+    "2psu": (-1, 0, 0),
+    "2ssg": (1, 0, 1),
+    "3dsg": (1, 1, 0),
+    "3psu": (-1, 0, 1),
+}
+STATES = tuple(STATE_INDEX)
 
 
-def angular_eigenvalue(c2: float, parity: int, n_basis: int = 60) -> float:
+def angular_eigenvalue(c2: float, parity: int, n_basis: int = 60,
+                       branch: int = 0) -> float:
     """Separation constant A(c^2) for the sigma state of given parity
-    (+1: even l branch from l=0; -1: odd l branch from l=1).
+    (+1: even l branch from l=0; -1: odd l branch from l=1). ``branch`` = k
+    picks the eigenvalue continuing from l = 2k (+1 for odd parity) at
+    c = 0 — the k-th largest of the banded matrix.
 
     Legendre expansion: coefficient of P_k gives
         [A - k(k+1)] c_k + c^2 (a_{k-2} c_{k-2} + b_k c_k + g_{k+2} c_{k+2}) = 0
@@ -67,7 +86,8 @@ def angular_eigenvalue(c2: float, parity: int, n_basis: int = 60) -> float:
     m[idx + 1, idx] = c2 * a[:-1]
     m[idx, idx + 1] = c2 * g[1:]
     # symmetrise by diagonal similarity (off-diagonal products are positive)
-    return -float(np.max(np.linalg.eigvals(m).real))
+    ev = np.sort(np.linalg.eigvals(m).real)[::-1]
+    return -float(ev[branch])
 
 
 def _radial_condition(e: float, d: float, a_sep: float,
@@ -93,22 +113,30 @@ def _radial_condition(e: float, d: float, a_sep: float,
     return beta(0) + r  # n = 0 row: beta_0 g_0 + 1^2 g_1 = 0
 
 
-def _eigencondition(e: float, d: float, parity: int) -> float:
+def _eigencondition(e: float, d: float, parity: int,
+                    branch: int = 0) -> float:
     c2 = -e * d * d / 2.0
-    return _radial_condition(e, d, angular_eigenvalue(c2, parity))
+    return _radial_condition(e, d, angular_eigenvalue(c2, parity,
+                                                      branch=branch))
 
 
 def _find_bracket(d: float, parity: int, lo: float, hi: float,
-                  n_scan: int) -> tuple[float, float] | None:
+                  n_scan: int, branch: int = 0,
+                  n_root: int = 0) -> tuple[float, float] | None:
+    """Bracket of the ``n_root``-th genuine sign change of the eigenvalue
+    condition on [lo, hi] (scanning upward: j-th root = j radial nodes)."""
     es = np.linspace(lo, hi, n_scan)
-    f_prev = _eigencondition(es[0], d, parity)
+    f_prev = _eigencondition(es[0], d, parity, branch)
+    seen = 0
     for i, e in enumerate(es[1:]):
-        f = _eigencondition(e, d, parity)
+        f = _eigencondition(e, d, parity, branch)
         # sign change without a pole: continued-fraction poles flip sign with
         # huge magnitude; genuine roots have moderate values on both sides
         if np.isfinite(f) and np.isfinite(f_prev) and f_prev * f < 0 \
                 and abs(f) + abs(f_prev) < 1e6:
-            return (es[i], e)
+            if seen == n_root:
+                return (es[i], e)
+            seen += 1
         f_prev = f
     return None
 
@@ -117,22 +145,24 @@ def _find_bracket(d: float, parity: int, lo: float, hi: float,
 def _exact_cached(r_half: float, state: str, tol: float,
                   guess: float | None) -> float:
     d = 2.0 * float(r_half)
-    parity = 1 if state == "1ssg" else -1
+    parity, branch, n_root = STATE_INDEX[state]
     bracket = None
     if guess is not None:
-        # Wind-guided fast path: the table is good to +-5e-5, so +-2 mHa
-        # around it must bracket the root
-        bracket = _find_bracket(d, parity, guess - 2e-3, guess + 2e-3, 9)
+        # guess-guided fast path (e.g. the Wind interpolant, good to
+        # +-5e-5): +-2 mHa around it must bracket the root — and contain
+        # ONLY it, so the window searches for its first sign change
+        bracket = _find_bracket(d, parity, guess - 2e-3, guess + 2e-3, 9,
+                                branch)
     if bracket is None:
-        # full scan upward from below the united-atom limit (-2 for 1ssg;
-        # -1 suffices for 2psu across all D): the FIRST sign change is the
-        # lowest eigenvalue of the parity sector
+        # full scan upward from below the united-atom limit (-2.2 covers
+        # He+ n=1; excited-state roots are counted from the same floor so
+        # the j-th sign change is the j-th radial state of the branch)
         lo = -2.2 if parity > 0 else -1.0
-        bracket = _find_bracket(d, parity, lo, -1e-3, 400)
+        bracket = _find_bracket(d, parity, lo, -1e-3, 400, branch, n_root)
     if bracket is None:  # pragma: no cover
         raise RuntimeError(f"no eigenvalue bracket found for D={d}, {state}")
     from scipy.optimize import brentq
-    return float(brentq(lambda x: _eigencondition(x, d, parity),
+    return float(brentq(lambda x: _eigencondition(x, d, parity, branch),
                         bracket[0], bracket[1], xtol=tol, rtol=8.9e-16))
 
 

@@ -143,10 +143,11 @@ class TrainConfig:
     # symmetric-arch models incl. the alpha/GZ flagship, float32.
     kernel: str = "xla"          # "xla" | "pallas"
     # Rematerialise the fused forward-Laplacian pass in the backward
-    # instead of keeping its residuals in HBM (jax.checkpoint). At the
-    # reference's n=100k batch the residuals stay resident and remat only
-    # adds FLOPs; at n >= ~1M the step turns HBM-bound and remat trades
-    # ~1.3x FLOPs for the bandwidth (measured in RESULTS.md).
+    # instead of keeping its residuals in HBM (jax.checkpoint). Measured
+    # (RESULTS.md): on this width-16 family remat LOSES at every feasible
+    # batch size (0.80x at n=1M, 0.76x at n=8M — the recompute's ~29%
+    # extra FLOPs are never repaid), so the default stays off; the flag
+    # exists because the trade flips for much wider models.
     remat: bool = False
 
     def __post_init__(self):
