@@ -130,10 +130,14 @@ def _find_bracket(d: float, parity: int, lo: float, hi: float,
     seen = 0
     for i, e in enumerate(es[1:]):
         f = _eigencondition(e, d, parity, branch)
-        # sign change without a pole: continued-fraction poles flip sign with
-        # huge magnitude; genuine roots have moderate values on both sides
-        if np.isfinite(f) and np.isfinite(f_prev) and f_prev * f < 0 \
-                and abs(f) + abs(f_prev) < 1e6:
+        # Genuine eigenvalues cross UPWARD (f' > 0 at the root) with
+        # moderate values on both sides; continued-fraction poles cross
+        # downward with large magnitude (verified on the known 1ssg/2psu
+        # roots and on dense scans of the excited sectors — a pole at
+        # D=0.02 odd-parity shows (+91, -148), the neighbouring genuine
+        # roots (-0.014, +0.015) and (-0.003, +0.099)).
+        if np.isfinite(f) and np.isfinite(f_prev) \
+                and f_prev < 0.0 < f and abs(f) + abs(f_prev) < 1e6:
             if seen == n_root:
                 return (es[i], e)
             seen += 1

@@ -60,6 +60,73 @@ def test_oracle_plumbing_through_energy_module():
         aen.exact_energy(r, oracle="nope")
 
 
+def test_excited_united_atom_and_interlacing():
+    """New excited sigma states (2ssg, 3dsg, 3psu): united-atom limits are
+    He+ levels (-Z^2/2n^2 with Z=2: n=2 -> -0.5, n=3 -> -2/9), and the
+    radial-root index must interlace within each parity sector."""
+    assert abs(exact.exact_electronic_energy(0.01, "2ssg") - (-0.5)) < 2e-3
+    assert abs(exact.exact_electronic_energy(0.01, "3psu") - (-2 / 9)) < 2e-4
+    assert abs(exact.exact_electronic_energy(0.01, "3dsg") - (-2 / 9)) < 2e-4
+    for lo, hi in (("1ssg", "2ssg"), ("2psu", "3psu")):
+        for r in (0.2, 1.0, 4.0):
+            assert exact.exact_electronic_energy(r, lo) \
+                < exact.exact_electronic_energy(r, hi), (lo, hi, r)
+    # different ANGULAR branches of the same sigma_g symmetry may cross —
+    # and famously do in H2+ (the two-centre separation constant is an
+    # extra conserved quantity): 2ssg < 3dsg at chemical distances, but
+    # 3dsg dips BELOW 2ssg at large D
+    assert exact.exact_electronic_energy(1.0, "2ssg") \
+        < exact.exact_electronic_energy(1.0, "3dsg")
+    assert exact.exact_electronic_energy(4.0, "3dsg") \
+        < exact.exact_electronic_energy(4.0, "2ssg")
+
+
+def test_excited_states_vs_independent_rayleigh_ritz():
+    """Cross-check the excited roots against a generalized-eigenproblem
+    Rayleigh-Ritz bound built from an INDEPENDENT method (polynomial x
+    exponential basis + spheroidal quadrature + autodiff Laplacian — no
+    Jaffe expansion, no continued fraction). Each Ritz eigenvalue must lie
+    ABOVE the oracle's root and within a few 1e-4 of it."""
+    import jax
+    import jax.numpy as jnp
+
+    r_half = 1.0
+    x, rho, w = aen.spheroidal_grid(r_half, 48, 48, 25.0)
+    x, rho = jnp.asarray(x), jnp.asarray(rho)
+
+    def basis(pt, j, k, parity):
+        xx, yy, zz = pt
+        r1 = jnp.sqrt((xx - r_half) ** 2 + yy ** 2 + zz ** 2)
+        r2 = jnp.sqrt((xx + r_half) ** 2 + yy ** 2 + zz ** 2)
+        xi = (r1 + r2) / (2 * r_half)
+        eta = (r1 - r2) / (2 * r_half)
+        f = xi ** j * jnp.exp(-0.9 * r_half * (xi - 1.0)) * eta ** (2 * k)
+        return f * eta if parity < 0 else f
+
+    def column(j, k, parity):
+        f = lambda pt: basis(pt, j, k, parity)
+        lap = lambda pt: jnp.trace(jax.hessian(f)(pt))
+        pts = jnp.stack([x, rho, jnp.zeros_like(x)], -1)
+        psi = jax.vmap(f)(pts)
+        r1 = jnp.sqrt((x - r_half) ** 2 + rho ** 2)
+        r2 = jnp.sqrt((x + r_half) ** 2 + rho ** 2)
+        hpsi = -0.5 * jax.vmap(lap)(pts) + (-1 / r1 - 1 / r2) * psi
+        return np.asarray(psi), np.asarray(hpsi)
+
+    from scipy.linalg import eigh
+    for parity, states in ((1, ("1ssg", "2ssg", "3dsg")),
+                           (-1, ("2psu", "3psu"))):
+        cols = [column(j, k, parity) for j in range(5) for k in range(4)]
+        p = np.stack([c[0] for c in cols])
+        hp = np.stack([c[1] for c in cols])
+        s_mat = (p * w) @ p.T
+        h_mat = (p * w) @ hp.T
+        ev = eigh(0.5 * (h_mat + h_mat.T), s_mat, eigvals_only=True)
+        for i, st in enumerate(states):
+            gap = ev[i] - exact.exact_electronic_energy(r_half, st)
+            assert -1e-9 < gap < 5e-4, (st, gap)
+
+
 def test_guess_and_scan_paths_agree():
     e_guided = exact.exact_electronic_energy(1.3, "1ssg",
                                              guess=float(
