@@ -92,7 +92,15 @@ def psi(params: dict, x, y, z, r, arch: str = "symmetric",
         lam = mlp_tanh(np.stack([t, rf], -1), "lam1", "lam2", "lamout")
         mu = mlp_tanh(np.stack([eta2, rf], -1), "mu1", "mu2", "muout")
         cap = 3.0  # models/ansatz.LOG_CORR_CAP
-        return phi * np.exp(cap * np.tanh((lam[..., 0] + mu[..., 0]) / cap))
+        out = phi * np.exp(cap * np.tanh((lam[..., 0] + mu[..., 0]) / cap))
+        if "node1" in params:
+            # radial node factor (models/ansatz.node_xi0): excited states
+            a = _sigmoid(r[..., None] @ params["node1"]["w"]
+                         + params["node1"]["b"])
+            h = (a @ params["node2"]["w"] + params["node2"]["b"])[..., 0]
+            xi0 = 1.0 + 8.0 * _sigmoid(h)  # models/ansatz.XI0_CAP
+            out = out * (0.5 * (r1 + r2) - r * xi0)
+        return out
 
     def envelopes(xs):
         r1 = np.sqrt((xs - r) ** 2 + (y - ry) ** 2 + (z - rz) ** 2)

@@ -59,6 +59,15 @@ class ModelConfig:
     # it removes most of the bonding-band error the LCAO+NN family
     # saturates at. b(R) is a bounded head in (0, 1.5), initialised to 0.1.
     gz: bool = False
+    # Radial node factor for RADIALLY EXCITED sigma states (2s sigma_g,
+    # 3p sigma_u): psi gains a trainable factor (xi - xi0(R)) with the node
+    # position xi0(R) = 1 + 8 sigmoid(head(R)) in (1, 9). The exact excited
+    # Lambda(xi) has exactly one simple zero, so Lambda/(xi - xi0) is
+    # smooth and positive — the separable log-correction represents the
+    # rest exactly. exp(...) > 0 keeps every collapse mode ruled out; the
+    # factor is symmetric under r1 <-> r2 so inversion parity is untouched.
+    # Separable arch only.
+    xi_node: bool = False
 
     def __post_init__(self):
         if self.arch not in ("symmetric", "minimal", "separable"):

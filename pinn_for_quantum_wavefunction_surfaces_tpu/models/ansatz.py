@@ -137,6 +137,10 @@ def _init_separable(keys, mcfg: ModelConfig, dtype) -> dict:
                   "b": jnp.full((1,), BETA_BIAS_INIT, dtype)},
     }
     params["eout"]["b"] = jnp.full((1,), mcfg.eout_bias_init, dtype)
+    if mcfg.xi_node:
+        params["node1"] = _init_linear(keys[10], 1, mcfg.hidden_alpha, dtype)
+        params["node2"] = {"w": jnp.zeros((mcfg.hidden_alpha, 1), dtype),
+                           "b": jnp.full((1,), NODE_BIAS_INIT, dtype)}
     return params
 
 
@@ -190,6 +194,25 @@ def orbital_exponent(params: dict, r: jax.Array) -> jax.Array:
 # Guillemin-Zener second exponent b(R) in (0, 1.5), initialised to 0.1
 _BETA_HALF = 0.75
 BETA_BIAS_INIT = float(np.arctanh(0.1 / _BETA_HALF - 1.0))
+
+
+# Radial node position xi0(R) = 1 + XI0_CAP sigmoid(head) in (1, 1+XI0_CAP)
+# for radially excited states (ModelConfig.xi_node). The cap keeps the node
+# strictly inside the quadrature span (xi <= ~20): xi0 escaping the grid
+# would leave psi nodeless and able to collapse onto the ground state,
+# starving the deflated quotient's denominator (the "can this make psi
+# vanish / spread" checklist). United-atom estimate: the He+ 2s node at
+# r = 1 maps to xi0 ~ 1/R — up to 5 at R = 0.2, well inside the cap.
+XI0_CAP = 8.0
+NODE_BIAS_INIT = float(np.log(1.0 / (XI0_CAP - 1.0)))  # xi0(R) == 2 at init
+
+
+def node_xi0(params: dict, r: jax.Array) -> jax.Array:
+    """Trainable node position xi0(R) (xi_node models)."""
+    a = jax.nn.sigmoid(r[..., None] @ params["node1"]["w"]
+                       + params["node1"]["b"])
+    h = (a @ params["node2"]["w"] + params["node2"]["b"])[..., 0]
+    return 1.0 + XI0_CAP * jax.nn.sigmoid(h)
 
 
 def gz_exponent(params: dict, r: jax.Array, p_sym: int = 1,
@@ -281,7 +304,13 @@ def _psi_separable(params: dict, mcfg: ModelConfig, x, y, z, r):
                    params["mu1"], params["mu2"], params["muout"])
     c = LOG_CORR_CAP
     log_corr = c * jnp.tanh((lam[..., 0] + mu[..., 0]) / c)
-    return phi * jnp.exp(log_corr), energy(params, r)
+    out = phi * jnp.exp(log_corr)
+    if "node1" in params:
+        # radially excited states: one simple zero on the xi = xi0(R)
+        # ellipsoid ((r1+r2)/2 = R xi0; the R factor is spatially constant
+        # and absorbed by per-R normalisation)
+        out = out * (p_half - r * node_xi0(params, r))
+    return out, energy(params, r)
 
 
 def psi(params: dict, mcfg: ModelConfig, x, y, z, r):
@@ -387,7 +416,12 @@ def _psi_separable_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
     bounded = fwdlap.scale(
         fwdlap.tanh(fwdlap.scale(fwdlap.add(lam, mu), 1.0 / c)), c)
     corr = fwdlap.exp(bounded)
-    return fwdlap.mul(phi, corr), energy(params, r)
+    out = fwdlap.mul(phi, corr)
+    if "node1" in params:
+        q = fwdlap.add(p_half,
+                       fwdlap.const(-(r * node_xi0(params, r))[..., None]))
+        out = fwdlap.mul(out, q)
+    return out, energy(params, r)
 
 
 def psi_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):

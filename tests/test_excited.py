@@ -1,0 +1,105 @@
+"""Radially excited sigma states (capability beyond the reference): the
+xi_node ansatz factor (models/ansatz.node_xi0) and the deflated variational
+objective (training/variational.quotient_loss_deflated) targeting 2s sigma_g
+/ 3p sigma_u — states that are NOT the lowest of their symmetry sector, so
+plain quotient minimisation would sink to the ground state."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
+from pinn_for_quantum_wavefunction_surfaces_tpu.models import ansatz
+from pinn_for_quantum_wavefunction_surfaces_tpu.ops import operators
+
+
+def _points(n=48, seed=0):
+    k = jax.random.split(jax.random.PRNGKey(seed), 4)
+    x = jax.random.uniform(k[0], (n,), jnp.float64, -5, 5)
+    y = jax.random.uniform(k[1], (n,), jnp.float64, -5, 5)
+    z = jax.random.uniform(k[2], (n,), jnp.float64, -5, 5)
+    r = jax.random.uniform(k[3], (n,), jnp.float64, 0.2, 4.0)
+    return x, y, z, r
+
+
+def _node_params(p=1, seed=1):
+    mcfg = pqs.ModelConfig(arch="separable", inversion_symmetry=p,
+                           xi_node=True)
+    params = ansatz.init_params(jax.random.PRNGKey(seed), mcfg, jnp.float64)
+    k = jax.random.split(jax.random.PRNGKey(seed + 10), 6)
+    for i, name in enumerate(("lamout", "muout", "alpha2", "beta2",
+                              "node2")):
+        params[name]["w"] = 0.3 * jax.random.normal(
+            k[i], params[name]["w"].shape, jnp.float64)
+    return mcfg, params
+
+
+def test_node_factor_at_init():
+    """xi_node init: psi == GZ * ((r1+r2)/2 - 2R) — node at xi0 = 2."""
+    mcfg = pqs.ModelConfig(arch="separable", xi_node=True)
+    params = ansatz.init_params(jax.random.PRNGKey(0), mcfg, jnp.float64)
+    x, y, z, r = _points()
+    psi_v, _ = ansatz.psi(params, mcfg, x, y, z, r)
+    a = ansatz.orbital_exponent(params, r)
+    b = ansatz.gz_exponent(params, r, 1, a)
+    r1 = jnp.sqrt((x - r) ** 2 + y ** 2 + z ** 2)
+    r2 = jnp.sqrt((x + r) ** 2 + y ** 2 + z ** 2)
+    gz = jnp.exp(-a * r1 - b * r2) + jnp.exp(-a * r2 - b * r1)
+    want = gz * (0.5 * (r1 + r2) - 2.0 * r)
+    np.testing.assert_allclose(psi_v, want, rtol=1e-13)
+    np.testing.assert_allclose(ansatz.node_xi0(params, r), 2.0, rtol=1e-12)
+
+
+@pytest.mark.parametrize("p", [1, -1])
+def test_node_fwdlap_matches_nested_ad(p):
+    mcfg, params = _node_params(p)
+    x, y, z, r = _points(32)
+    s, e = ansatz.psi_fwdlap(params, mcfg, x, y, z, r)
+    psi_v, e_v = ansatz.psi(params, mcfg, x, y, z, r)
+    np.testing.assert_allclose(s.v[..., 0], psi_v, rtol=1e-12)
+    np.testing.assert_allclose(e, e_v, rtol=1e-14)
+
+    def point(c, ri):
+        pv, _ = ansatz.psi(params, mcfg, c[0], c[1], c[2], ri)
+        return pv
+
+    lap = jax.vmap(lambda xx, yy, zz, rr: operators.laplacian_fn(
+        lambda c: point(c, rr))(jnp.stack([xx, yy, zz])))(x, y, z, r)
+    np.testing.assert_allclose(s.l[..., 0], lap, rtol=1e-8, atol=1e-12)
+    grad = jax.vmap(lambda xx, yy, zz, rr: jax.grad(
+        lambda c: point(c, rr))(jnp.stack([xx, yy, zz])))(x, y, z, r)
+    np.testing.assert_allclose(s.g[..., 0], grad, rtol=1e-8, atol=1e-12)
+
+
+@pytest.mark.parametrize("p", [1, -1])
+def test_node_preserves_inversion_parity(p):
+    mcfg, params = _node_params(p, seed=3)
+    x, y, z, r = _points()
+    a, _ = ansatz.psi(params, mcfg, x, y, z, r)
+    b, _ = ansatz.psi(params, mcfg, -x, -y, -z, r)
+    np.testing.assert_allclose(b, p * a, rtol=1e-12)
+
+
+def test_node_numpy_infer_parity():
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import \
+        numpy_infer
+    mcfg, params = _node_params(seed=5)
+    np_params = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+                 for k, v in params.items()}
+    x, y, z, r = _points()
+    got = numpy_infer.psi(np_params, np.asarray(x), np.asarray(y),
+                          np.asarray(z), np.asarray(r), arch="separable")
+    want, _ = ansatz.psi(params, mcfg, x, y, z, r)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12)
+
+
+def test_pallas_kernel_rejects_node_params():
+    from pinn_for_quantum_wavefunction_surfaces_tpu.ops.pallas_separable \
+        import psi_lap_train_separable
+    mcfg, params = _node_params()
+    x, y, z, r = _points(8)
+    with pytest.raises(NotImplementedError):
+        psi_lap_train_separable(params, mcfg, x, y, z, r, interpret=True)
