@@ -69,6 +69,8 @@ def _build_cfg(args) -> "object":
         model = dataclasses.replace(model, r_input=True)
     if getattr(args, "gz", False):
         model = dataclasses.replace(model, gz=True)
+    if getattr(args, "xi_node", False):
+        model = dataclasses.replace(model, xi_node=True)
     return dataclasses.replace(cfg, model=model, train=train, domain=domain,
                                dtype=args.dtype)
 
@@ -339,6 +341,16 @@ def cmd_variational(args) -> None:
     if args.adam_warmup and not args.spheroidal:
         raise SystemExit("--adam-warmup belongs to the --spheroidal polish "
                          "(the MC trainer is already Adam)")
+    deflate_params = None
+    if getattr(args, "deflate", None):
+        if not args.spheroidal:
+            raise SystemExit("--deflate needs the deterministic objective: "
+                             "add --spheroidal (MC deflation is not "
+                             "implemented)")
+        deflate_params = _load_params(args.deflate)
+        deflate_params = {
+            k: {kk: np.asarray(vv, cfg.dtype) for kk, vv in v.items()}
+            for k, v in deflate_params.items()}
     os.makedirs(args.out, exist_ok=True)
     if args.lbfgs or (args.spheroidal and args.adam_warmup):
         if args.spheroidal:
@@ -357,7 +369,7 @@ def cmd_variational(args) -> None:
                 params, cfg, n_r=args.n_r, n_xi=args.n_xi, n_eta=args.n_eta,
                 steps=args.lbfgs, adam_steps=args.adam_warmup,
                 warmup_save=os.path.join(args.out, "warmup.npz"),
-                mesh=mesh, log_cb=_log)
+                mesh=mesh, log_cb=_log, deflate_params=deflate_params)
         else:
             polished = variational.polish_lbfgs(
                 params, cfg, n_r=args.n_r, n_pts=args.n_pts,
@@ -368,11 +380,15 @@ def cmd_variational(args) -> None:
             polish = "spheroidal-lbfgs"
         else:
             polish = "spheroidal-adam"   # pure warmup run, no L-BFGS phase
+        meta = {"polish": polish}
+        if deflate_params is not None:
+            meta["deflated"] = os.path.basename(args.deflate)
         checkpoint.save(os.path.join(args.out, "variational.npz"),
-                        {"params": polished}, meta={"polish": polish})
+                        {"params": polished}, meta=meta)
         print(json.dumps({"out": args.out, "polish": polish,
                           "lbfgs_steps": args.lbfgs,
                           "adam_warmup_steps": args.adam_warmup,
+                          "deflated": deflate_params is not None,
                           "spheroidal": bool(args.spheroidal)}))
         return
     res = variational.train_variational(
@@ -420,11 +436,14 @@ def cmd_evaluate(args) -> None:
                        grid="spheroidal")
     aen.save_surface(os.path.join(out_dir, "energy_eval.pkl"), surf)
     oracle = args.oracle
-    if cfg.model.inversion_symmetry < 0:
-        # ungerade 2p sigma_u: only the ODE oracle covers it (the Wind
-        # table is the gerade ground state)
-        exact = aen.exact_energy_ode(surf["R"], state="2psu")
-        oracle = "ode:2psu"
+    state = getattr(args, "target_state", None)
+    if state is None:
+        state = "2psu" if cfg.model.inversion_symmetry < 0 else "1ssg"
+    if state != "1ssg":
+        # only the ODE oracle covers non-ground states (the Wind table is
+        # the gerade ground state)
+        exact = aen.exact_energy_ode(surf["R"], state=state)
+        oracle = f"ode:{state}"
     else:
         exact = aen.exact_energy(surf["R"], oracle=args.oracle)
     err = 1e3 * np.abs(surf["E_net"] - exact)
@@ -454,9 +473,7 @@ def cmd_evaluate(args) -> None:
         terr = 1e3 * np.abs(e_tab - exact)
         half = 0.5 * float(table["R"][1] - table["R"][0])
         r_off = surf["R"][:-1] + half
-        ex_off = (aen.exact_energy_ode(r_off, state="2psu")
-                  if cfg.model.inversion_symmetry < 0
-                  else aen.exact_energy_ode(r_off))
+        ex_off = aen.exact_energy_ode(r_off, state=state)
         terr_off = 1e3 * np.abs(etab.energy_from_table(table, r_off) - ex_off)
         out.update({
             "tab_mean_err_mHa": round(float(terr.mean()), 4),
@@ -619,6 +636,16 @@ def main(argv=None) -> None:
     p.add_argument("--adam-warmup", type=int, default=0, dest="adam_warmup",
                    help="deterministic-Adam steps before the L-BFGS polish "
                         "(1 eval/step vs ~15 for cold L-BFGS linesearch)")
+    p.add_argument("--xi-node", action="store_true", dest="xi_node",
+                   help="trainable radial node factor (xi - xi0(R)) on the "
+                        "separable ansatz — radially excited states "
+                        "(2s sigma_g / 3p sigma_u)")
+    p.add_argument("--deflate", metavar="CKPT",
+                   help="frozen reference-state checkpoint (same symmetry "
+                        "sector): minimise the DEFLATED quotient — the "
+                        "quotient of psi's component orthogonal to it — "
+                        "targeting the sector's SECOND state. Requires "
+                        "--spheroidal")
     p.set_defaults(fn=cmd_variational)
 
     p = sub.add_parser("evaluate",
@@ -635,6 +662,12 @@ def main(argv=None) -> None:
                    help="knot count for the exported spline E(R) table "
                         "(per-R spheroidal Rayleigh quotients; bypasses the "
                         "MLP head's fit floor; 0 disables)")
+    p.add_argument("--target-state", dest="target_state",
+                   choices=["1ssg", "2psu", "2ssg", "3dsg", "3psu"],
+                   help="exact-oracle state to score against (default: "
+                        "inferred from --state: gerade -> 1ssg, ungerade -> "
+                        "2psu; deflation-trained excited checkpoints score "
+                        "against 2ssg / 3psu)")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("sweep", help="per-R multi-model family (legacy mode)")

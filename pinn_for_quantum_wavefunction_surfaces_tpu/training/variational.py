@@ -111,6 +111,77 @@ def quotient_loss(params: dict, cfg: Config, vb: VBatch,
                   "e_r": e_r}
 
 
+def quotient_loss_deflated(params: dict, cfg: Config, vb: VBatch,
+                           psi0: jax.Array, hpsi0: jax.Array,
+                           head_weight: float = 1.0):
+    """(loss, aux): mean DEFLATED Rayleigh quotient — the quotient of the
+    component of psi ORTHOGONAL to a frozen reference state psi0, per R row.
+
+    With psi0 the polished ground state of the symmetry sector (µHa-accurate
+    in this framework), min-max gives  min_{psi perp psi0} Q[psi] = E_2 up
+    to O(|psi0 - psi0_exact|^2) — so aggressive optimisation converges to
+    the SECOND eigenvalue instead of sinking to the ground state (which
+    plain quotient minimisation would do for any state that is not the
+    lowest of its sector; capability beyond the reference, which has no
+    excited-state machinery at all beyond the P = -1 sector choice).
+
+    psi0, hpsi0: (n_rows, n_pts) precomputed values of the frozen reference
+    and H psi0 on the SAME quadrature rows as ``vb`` (zero-weight padding
+    points contribute nothing). All projections use the row's quadrature
+    inner product:
+        t     = <psi, psi0> / <psi0, psi0>
+        e_r   = (<psi H psi> - 2 t <psi0 H psi>_sym + t^2 <psi0 H psi0>)
+                / (<psi, psi> - t <psi, psi0>)
+    where <psi0 H psi>_sym = (<psi0 hpsi> + <psi hpsi0>)/2 symmetrises the
+    finite-grid Hermiticity error.
+    """
+    n_r, n_pts = vb.x.shape
+    rr = jnp.broadcast_to(vb.r[:, None], (n_r, n_pts)).reshape(-1)
+    s, _ = ansatz.psi_fwdlap(params, cfg.model, vb.x.reshape(-1),
+                             vb.y.reshape(-1), vb.z.reshape(-1), rr)
+    psi = s.v[..., 0].reshape(n_r, n_pts)
+    lap = s.l[..., 0].reshape(n_r, n_pts)
+    v = operators.potential(cfg.model, vb.x, vb.y, vb.z, vb.r[:, None])
+    hpsi = -0.5 * lap + v * psi
+    w = vb.w
+    n_ = jnp.sum(w * psi * psi, axis=1)
+    o = jnp.sum(w * psi * psi0, axis=1)
+    n0 = jnp.sum(w * psi0 * psi0, axis=1)
+    s_ = jnp.sum(w * psi * hpsi, axis=1)
+    s0 = jnp.sum(w * psi0 * hpsi0, axis=1)
+    c01 = 0.5 * (jnp.sum(w * psi0 * hpsi, axis=1)
+                 + jnp.sum(w * psi * hpsi0, axis=1))
+    t = o / n0
+    num = s_ - 2.0 * t * c01 + t * t * s0
+    den = n_ - t * o
+    e_r = num / den
+    e_head = ansatz.energy(params, vb.r)
+    l_head = jnp.mean((e_head - jax.lax.stop_gradient(e_r)) ** 2)
+    loss = jnp.mean(e_r) + head_weight * l_head
+    # perp_frac -> 0 means psi is collapsing onto psi0 (the xi_node factor
+    # structurally prevents it; monitor regardless)
+    return loss, {"e_mean": jnp.mean(e_r), "l_head": l_head, "e_r": e_r,
+                  "perp_frac": jnp.min(den / n_)}
+
+
+def reference_state_on_batch(params0: dict, cfg: Config,
+                             vb: VBatch) -> tuple[jax.Array, jax.Array]:
+    """(psi0, hpsi0) of a frozen reference state on the batch's quadrature
+    rows — the constant inputs of quotient_loss_deflated. Dispatch is
+    params-keyed (ansatz.psi_fwdlap), so params0 may be any architecture of
+    the same symmetry sector (e.g. the separable ground-state flagship
+    deflating a xi_node excited run)."""
+    n_r, n_pts = vb.x.shape
+    rr = jnp.broadcast_to(vb.r[:, None], (n_r, n_pts)).reshape(-1)
+    s, _ = ansatz.psi_fwdlap(params0, cfg.model, vb.x.reshape(-1),
+                             vb.y.reshape(-1), vb.z.reshape(-1), rr)
+    psi0 = s.v[..., 0].reshape(n_r, n_pts)
+    lap0 = s.l[..., 0].reshape(n_r, n_pts)
+    v = operators.potential(cfg.model, vb.x, vb.y, vb.z, vb.r[:, None])
+    hpsi0 = -0.5 * lap0 + v * psi0
+    return (jax.lax.stop_gradient(psi0), jax.lax.stop_gradient(hpsi0))
+
+
 def spheroidal_vbatch(cfg: Config, n_r: int = 77, n_xi: int = 48,
                       n_eta: int = 48, xi_span: float = 20.0,
                       dtype=None, r_values=None) -> VBatch:
@@ -153,16 +224,20 @@ def spheroidal_vbatch(cfg: Config, n_r: int = 77, n_xi: int = 48,
 
 
 def _lbfgs_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
-                    head_weight: float, log_cb=None) -> dict:
-    """Shared L-BFGS driver on quotient_loss over a fixed batch.
+                    head_weight: float, log_cb=None,
+                    loss_fn=None) -> dict:
+    """Shared L-BFGS driver on ``loss_fn`` (default quotient_loss) over a
+    fixed batch.
 
     Returns the BEST iterate, not the last: late L-BFGS steps can blow up
     (observed in f32: a final linesearch overshoot erased 4000 steps of
     descent), and on a deterministic objective the lowest value IS the best
     model — the train.py best-snapshot policy (reference train.py:58-60)
     applied to the polish."""
+    loss_fn = quotient_loss if loss_fn is None else loss_fn
+
     def f(p):
-        return quotient_loss(p, cfg, vb, head_weight)[0]
+        return loss_fn(p, cfg, vb, head_weight)[0]
 
     opt = optax.lbfgs()
     state = opt.init(params)
@@ -219,19 +294,21 @@ def polish_lbfgs(params: dict, cfg: Config, n_r: int = 64,
 
 def _adam_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
                    head_weight: float, lr: float = 3e-3,
-                   chunk: int = 100, log_cb=None) -> dict:
-    """Deterministic-Adam warmup on quotient_loss over a fixed batch.
+                   chunk: int = 100, log_cb=None, loss_fn=None) -> dict:
+    """Deterministic-Adam warmup on ``loss_fn`` (default quotient_loss)
+    over a fixed batch.
 
     One gradient evaluation per step (vs L-BFGS's ~15 linesearch evals per
     step far from the optimum), scan-chunked so remote dispatch amortises.
     Hands over to L-BFGS near the basin, where its linesearch is cheap."""
+    loss_fn = quotient_loss if loss_fn is None else loss_fn
     sched = optax.exponential_decay(lr, transition_steps=max(steps // 4, 1),
                                     decay_rate=0.5, staircase=True)
     opt = optax.adam(sched)
 
     def step(carry, _):
         p, st = carry
-        (l, _), g = jax.value_and_grad(quotient_loss, has_aux=True)(
+        (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
             p, cfg, vb, head_weight)
         updates, st = opt.update(g, st, p)
         return (optax.apply_updates(p, updates), st), l
@@ -271,7 +348,8 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                       xi_span: float = 20.0, head_weight: float = 1.0,
                       dual_grid: bool = True, adam_steps: int = 0,
                       warmup_save: Optional[str] = None,
-                      mesh=None, log_cb=None) -> dict:
+                      mesh=None, log_cb=None,
+                      deflate_params: Optional[dict] = None) -> dict:
     """L-BFGS on the EXACT (quadrature) variational objective.
 
     Replaces the MC estimator entirely: each step sees the true Rayleigh
@@ -285,6 +363,11 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
     (observed once, see models/ansatz.LOG_CORR_CAP). ``dual_grid`` closes
     it: the objective averages quotients over TWO coprime-sized grids per R,
     and a spike invisible to one grid is seen (and priced) by the other.
+
+    ``deflate_params``: frozen reference-state params (same symmetry
+    sector) — switches the objective to quotient_loss_deflated, targeting
+    the SECOND state of the sector (2s sigma_g / 3p sigma_u with a xi_node
+    ansatz).
     """
     dtype = jnp.dtype(cfg.dtype)
     if params is None:
@@ -326,6 +409,19 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                     jnp.concatenate([po(vb.z), vb2.z]),
                     jnp.concatenate([pz(vb.w), vb2.w]),
                     jnp.concatenate([vb.r, vb2.r]))
+    loss_fn = None
+    if deflate_params is not None:
+        # excited-state mode: deflate against the frozen reference state
+        # (its (psi0, H psi0) rows are constants of the optimisation)
+        frozen = jax.tree.map(lambda a: jnp.asarray(a, dtype),
+                              deflate_params)
+        psi0, hpsi0 = reference_state_on_batch(frozen, cfg, vb)
+        psi0, hpsi0 = np.asarray(psi0), np.asarray(hpsi0)
+
+        def loss_fn(p, cfg_, vb_, hw, _p0=psi0, _h0=hpsi0):
+            return quotient_loss_deflated(p, cfg_, vb_,
+                                          jnp.asarray(_p0, vb_.x.dtype),
+                                          jnp.asarray(_h0, vb_.x.dtype), hw)
     if mesh is not None:
         # Multi-chip: the objective is a mean of per-R quotients — the R
         # axis is embarrassingly parallel (each row's (sum w psi H psi,
@@ -337,9 +433,15 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
         row = NamedSharding(mesh, Ps("data"))
         vb = VBatch(*(jax.device_put(a, row) for a in vb))
         params = jax.device_put(params, NamedSharding(mesh, Ps()))
+        if deflate_params is not None:
+            p0_sh = jax.device_put(jnp.asarray(psi0, dtype), row)
+            h0_sh = jax.device_put(jnp.asarray(hpsi0, dtype), row)
+
+            def loss_fn(p, cfg_, vb_, hw, _p0=p0_sh, _h0=h0_sh):
+                return quotient_loss_deflated(p, cfg_, vb_, _p0, _h0, hw)
     if adam_steps:
         params = _adam_minimize(params, cfg, vb, adam_steps, head_weight,
-                                log_cb=log_cb)
+                                log_cb=log_cb, loss_fn=loss_fn)
         if warmup_save:
             # the L-BFGS phase compiles a much larger executable (zoom
             # linesearch while_loop) and has been seen OOM-killing a remote
@@ -348,7 +450,8 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
             checkpoint.save(warmup_save,
                             {"params": jax.tree.map(np.asarray, params)},
                             meta={"polish": "spheroidal-adam-warmup"})
-    return _lbfgs_minimize(params, cfg, vb, steps, head_weight, log_cb)
+    return _lbfgs_minimize(params, cfg, vb, steps, head_weight, log_cb,
+                           loss_fn=loss_fn)
 
 
 class VState(NamedTuple):

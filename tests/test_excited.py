@@ -96,6 +96,37 @@ def test_node_numpy_infer_parity():
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12)
 
 
+def test_deflated_polish_converges_to_2ssg():
+    """Deflated spheroidal polish at fixed R = 1 (psi0 = the shipped
+    ground-state flagship): the xi_node model must converge to the SECOND
+    gerade eigenvalue E(2ssg) = -0.36086488 — far from the ground state at
+    -1.1026342 plain quotient minimisation would sink to — within 0.1 mHa
+    in a smoke-sized budget."""
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import exact
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import \
+        variational
+
+    p0, _ = checkpoint.load_params("artifacts/flagship_separable.npz")
+    p0 = p0.get("params", p0)
+    cfg = pqs.Config(model=pqs.ModelConfig(arch="separable", xi_node=True),
+                     domain=pqs.DomainConfig(fixed_r=1.0), dtype="float64")
+    params = ansatz.init_params(jax.random.PRNGKey(0), cfg.model,
+                                jnp.float64)
+    out = variational.polish_spheroidal(params, cfg, n_xi=32, n_eta=32,
+                                        steps=80, adam_steps=120,
+                                        deflate_params=p0)
+    vb = variational.spheroidal_vbatch(cfg, n_xi=64, n_eta=64)
+    out_j = jax.tree.map(jnp.asarray, out)
+    _, aux = variational.quotient_loss(out_j, cfg, vb, 0.0)
+    e = float(aux["e_r"][0])
+    e2 = exact.exact_electronic_energy(1.0, "2ssg")
+    assert abs(e - e2) < 1e-4, (e, e2)
+    # the learned node sits inside the grid, away from its (1, 9) bounds
+    xi0 = float(ansatz.node_xi0(out_j, jnp.asarray([1.0]))[0])
+    assert 1.2 < xi0 < 5.0, xi0
+
+
 def test_pallas_kernel_rejects_node_params():
     from pinn_for_quantum_wavefunction_surfaces_tpu.ops.pallas_separable \
         import psi_lap_train_separable
