@@ -74,6 +74,31 @@ def test_variational_spheroidal_cli(tmp_path, capsys):
     assert os.path.exists(os.path.join(out2, "variational.npz"))
 
 
+def test_variational_deflate_cli_wiring(tmp_path, capsys):
+    """--xi-node / --deflate wiring: tiny deflated polish from the shipped
+    ground-state artifact; the checkpoint must carry node params and the
+    deflation provenance in its meta."""
+    out = str(tmp_path / "defl")
+    last = _run(capsys, ["variational", "--out", out, "--arch", "separable",
+                         "--xi-node", "--spheroidal", "--deflate",
+                         "artifacts/flagship_separable.npz",
+                         "--fixed-r", "1.0", "--adam-warmup", "3",
+                         "--lbfgs", "2", "--n-xi", "10", "--n-eta", "8",
+                         "--dtype", "float64"])
+    rec = json.loads(last)
+    assert rec["deflated"] is True
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    params, meta = checkpoint.load_params(os.path.join(out,
+                                                       "variational.npz"))
+    assert "node1" in params.get("params", params)
+    assert meta["deflated"] == "flagship_separable.npz"
+    # --deflate without --spheroidal must be rejected
+    with pytest.raises(SystemExit):
+        cli.main(["variational", "--out", out, "--arch", "separable",
+                  "--deflate", "artifacts/flagship_separable.npz",
+                  "--lbfgs", "2", "--dtype", "float64"])
+
+
 def test_bad_checkpoint_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         cli.main(["energy", str(tmp_path / "missing.npz")])
