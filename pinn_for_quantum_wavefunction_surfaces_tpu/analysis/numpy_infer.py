@@ -100,6 +100,12 @@ def psi(params: dict, x, y, z, r, arch: str = "symmetric",
             h = (a @ params["node2"]["w"] + params["node2"]["b"])[..., 0]
             xi0 = 1.0 + 8.0 * _sigmoid(h)  # models/ansatz.XI0_CAP
             out = out * (0.5 * (r1 + r2) - r * xi0)
+        if "enode1" in params:
+            # angular node factor (models/ansatz.node_eta0sq)
+            a = _sigmoid(r[..., None] @ params["enode1"]["w"]
+                         + params["enode1"]["b"])
+            h = (a @ params["enode2"]["w"] + params["enode2"]["b"])[..., 0]
+            out = out * (eta2 - _sigmoid(h))
         return out
 
     def envelopes(xs):

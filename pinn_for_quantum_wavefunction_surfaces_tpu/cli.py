@@ -71,6 +71,8 @@ def _build_cfg(args) -> "object":
         model = dataclasses.replace(model, gz=True)
     if getattr(args, "xi_node", False):
         model = dataclasses.replace(model, xi_node=True)
+    if getattr(args, "eta_node", False):
+        model = dataclasses.replace(model, eta_node=True)
     return dataclasses.replace(cfg, model=model, train=train, domain=domain,
                                dtype=args.dtype)
 
@@ -347,10 +349,10 @@ def cmd_variational(args) -> None:
             raise SystemExit("--deflate needs the deterministic objective: "
                              "add --spheroidal (MC deflation is not "
                              "implemented)")
-        deflate_params = _load_params(args.deflate)
-        deflate_params = {
-            k: {kk: np.asarray(vv, cfg.dtype) for kk, vv in v.items()}
-            for k, v in deflate_params.items()}
+        deflate_params = [
+            {k: {kk: np.asarray(vv, cfg.dtype) for kk, vv in v.items()}
+             for k, v in _load_params(path).items()}
+            for path in args.deflate]
     os.makedirs(args.out, exist_ok=True)
     if args.lbfgs or (args.spheroidal and args.adam_warmup):
         if args.spheroidal:
@@ -382,7 +384,8 @@ def cmd_variational(args) -> None:
             polish = "spheroidal-adam"   # pure warmup run, no L-BFGS phase
         meta = {"polish": polish}
         if deflate_params is not None:
-            meta["deflated"] = os.path.basename(args.deflate)
+            meta["deflated"] = ",".join(os.path.basename(p)
+                                        for p in args.deflate)
         checkpoint.save(os.path.join(args.out, "variational.npz"),
                         {"params": polished}, meta=meta)
         print(json.dumps({"out": args.out, "polish": polish,
@@ -640,11 +643,17 @@ def main(argv=None) -> None:
                    help="trainable radial node factor (xi - xi0(R)) on the "
                         "separable ansatz — radially excited states "
                         "(2s sigma_g / 3p sigma_u)")
-    p.add_argument("--deflate", metavar="CKPT",
+    p.add_argument("--eta-node", action="store_true", dest="eta_node",
+                   help="trainable angular node factor (eta^2 - eta0^2(R)) "
+                        "on the separable ansatz — angularly excited sigma "
+                        "states (3d sigma_g)")
+    p.add_argument("--deflate", metavar="CKPT", action="append",
                    help="frozen reference-state checkpoint (same symmetry "
                         "sector): minimise the DEFLATED quotient — the "
                         "quotient of psi's component orthogonal to it — "
-                        "targeting the sector's SECOND state. Requires "
+                        "targeting the sector's next state up. Repeat to "
+                        "deflate k states and target the (k+1)-th "
+                        "(e.g. 1ssg + 2ssg -> 3d sigma_g). Requires "
                         "--spheroidal")
     p.set_defaults(fn=cmd_variational)
 

@@ -68,6 +68,12 @@ class ModelConfig:
     # factor is symmetric under r1 <-> r2 so inversion parity is untouched.
     # Separable arch only.
     xi_node: bool = False
+    # Angular node factor for ANGULARLY excited sigma states (3d sigma_g):
+    # psi gains (eta^2 - eta0^2(R)) with eta0^2(R) = sigmoid(head(R)) in
+    # (0, 1) — the exact M(eta) of a d-like sigma state has two symmetric
+    # nodes at +-eta0 (P2's are at eta^2 = 1/3, the init). Even in eta, so
+    # inversion parity is untouched. Separable arch only.
+    eta_node: bool = False
 
     def __post_init__(self):
         if self.arch not in ("symmetric", "minimal", "separable"):

@@ -141,6 +141,11 @@ def _init_separable(keys, mcfg: ModelConfig, dtype) -> dict:
         params["node1"] = _init_linear(keys[10], 1, mcfg.hidden_alpha, dtype)
         params["node2"] = {"w": jnp.zeros((mcfg.hidden_alpha, 1), dtype),
                            "b": jnp.full((1,), NODE_BIAS_INIT, dtype)}
+    if mcfg.eta_node:
+        params["enode1"] = _init_linear(keys[11], 1, mcfg.hidden_alpha,
+                                        dtype)
+        params["enode2"] = {"w": jnp.zeros((mcfg.hidden_alpha, 1), dtype),
+                            "b": jnp.full((1,), ETA_NODE_BIAS_INIT, dtype)}
     return params
 
 
@@ -213,6 +218,20 @@ def node_xi0(params: dict, r: jax.Array) -> jax.Array:
                        + params["node1"]["b"])
     h = (a @ params["node2"]["w"] + params["node2"]["b"])[..., 0]
     return 1.0 + XI0_CAP * jax.nn.sigmoid(h)
+
+
+# Angular node eta0^2(R) = sigmoid(head) in (0, 1); init at 1/3 (the P2
+# Legendre nodes — the d-state angular structure of 3d sigma_g)
+ETA_NODE_BIAS_INIT = float(np.log(0.5))
+
+
+def node_eta0sq(params: dict, r: jax.Array) -> jax.Array:
+    """Trainable squared angular node position eta0^2(R) (eta_node
+    models): M(eta) vanishes at eta = +-eta0."""
+    a = jax.nn.sigmoid(r[..., None] @ params["enode1"]["w"]
+                       + params["enode1"]["b"])
+    h = (a @ params["enode2"]["w"] + params["enode2"]["b"])[..., 0]
+    return jax.nn.sigmoid(h)
 
 
 def gz_exponent(params: dict, r: jax.Array, p_sym: int = 1,
@@ -310,6 +329,11 @@ def _psi_separable(params: dict, mcfg: ModelConfig, x, y, z, r):
         # ellipsoid ((r1+r2)/2 = R xi0; the R factor is spatially constant
         # and absorbed by per-R normalisation)
         out = out * (p_half - r * node_xi0(params, r))
+    if "enode1" in params:
+        # angularly excited sigma states (3d sigma_g): two symmetric
+        # angular nodes at eta = +-eta0(R); eta^2 is even under inversion
+        # so the factor leaves the parity with Phi_GZ
+        out = out * (eta2 - node_eta0sq(params, r))
     return out, energy(params, r)
 
 
@@ -420,6 +444,10 @@ def _psi_separable_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
     if "node1" in params:
         q = fwdlap.add(p_half,
                        fwdlap.const(-(r * node_xi0(params, r))[..., None]))
+        out = fwdlap.mul(out, q)
+    if "enode1" in params:
+        q = fwdlap.add(eta2,
+                       fwdlap.const(-node_eta0sq(params, r)[..., None]))
         out = fwdlap.mul(out, q)
     return out, energy(params, r)
 

@@ -360,10 +360,10 @@ def psi_lap_train_separable(params: dict, mcfg, x, y, z, r,
     if "lam1" not in params:
         raise NotImplementedError("psi_lap_train_separable needs separable "
                                   "params (lam*/mu* subtrees)")
-    if "node1" in params:
+    if "node1" in params or "enode1" in params:
         raise NotImplementedError(
-            "the fused separable kernel does not implement the xi_node "
-            "factor (excited radial states) — use kernel='xla'")
+            "the fused separable kernel does not implement the xi_node / "
+            "eta_node factors (excited states) — use kernel='xla'")
     hidden = params["lam1"]["w"].shape[1]
     dtype = x.dtype
     if not point_grads:

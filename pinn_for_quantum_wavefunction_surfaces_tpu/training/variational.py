@@ -125,15 +125,19 @@ def quotient_loss_deflated(params: dict, cfg: Config, vb: VBatch,
     lowest of its sector; capability beyond the reference, which has no
     excited-state machinery at all beyond the P = -1 sector choice).
 
-    psi0, hpsi0: (n_rows, n_pts) precomputed values of the frozen reference
-    and H psi0 on the SAME quadrature rows as ``vb`` (zero-weight padding
-    points contribute nothing). All projections use the row's quadrature
-    inner product:
+    psi0, hpsi0: (n_rows, n_pts) — or (k, n_rows, n_pts) for k reference
+    states — precomputed values of the frozen reference(s) and H psi0 on
+    the SAME quadrature rows as ``vb`` (zero-weight padding points
+    contribute nothing; multiple references must be row-orthogonalised,
+    which reference_states_on_batch does). All projections use the row's
+    quadrature inner product; for one reference:
         t     = <psi, psi0> / <psi0, psi0>
         e_r   = (<psi H psi> - 2 t <psi0 H psi>_sym + t^2 <psi0 H psi0>)
                 / (<psi, psi> - t <psi, psi0>)
     where <psi0 H psi>_sym = (<psi0 hpsi> + <psi hpsi0>)/2 symmetrises the
-    finite-grid Hermiticity error.
+    finite-grid Hermiticity error; for k references the cross term sums
+    over i and the quadratic term over (i, j) with
+    h_ij = <phi_i H phi_j>_sym.
     """
     n_r, n_pts = vb.x.shape
     rr = jnp.broadcast_to(vb.r[:, None], (n_r, n_pts)).reshape(-1)
@@ -143,23 +147,29 @@ def quotient_loss_deflated(params: dict, cfg: Config, vb: VBatch,
     lap = s.l[..., 0].reshape(n_r, n_pts)
     v = operators.potential(cfg.model, vb.x, vb.y, vb.z, vb.r[:, None])
     hpsi = -0.5 * lap + v * psi
+    if psi0.ndim == 2:
+        psi0, hpsi0 = psi0[None], hpsi0[None]   # (k=1, rows, pts)
     w = vb.w
     n_ = jnp.sum(w * psi * psi, axis=1)
-    o = jnp.sum(w * psi * psi0, axis=1)
-    n0 = jnp.sum(w * psi0 * psi0, axis=1)
     s_ = jnp.sum(w * psi * hpsi, axis=1)
-    s0 = jnp.sum(w * psi0 * hpsi0, axis=1)
-    c01 = 0.5 * (jnp.sum(w * psi0 * hpsi, axis=1)
-                 + jnp.sum(w * psi * hpsi0, axis=1))
-    t = o / n0
-    num = s_ - 2.0 * t * c01 + t * t * s0
-    den = n_ - t * o
+    o = jnp.sum(w * psi * psi0, axis=2)           # (k, rows) <psi, phi_i>
+    n0 = jnp.sum(w * psi0 * psi0, axis=2)         # (k, rows)
+    c = 0.5 * (jnp.sum(w * psi0 * hpsi, axis=2)
+               + jnp.sum(w * psi * hpsi0, axis=2))
+    # h_ij = <phi_i H phi_j>_sym: constants of the optimisation (folded by
+    # jit); the references are row-orthogonal so den has no cross terms
+    h = 0.5 * (jnp.einsum("irp,jrp->ijr", w[None] * psi0, hpsi0)
+               + jnp.einsum("irp,jrp->ijr", w[None] * hpsi0, psi0))
+    t = o / n0                                     # (k, rows)
+    num = (s_ - 2.0 * jnp.sum(t * c, axis=0)
+           + jnp.einsum("ir,ijr,jr->r", t, h, t))
+    den = n_ - jnp.sum(t * o, axis=0)
     e_r = num / den
     e_head = ansatz.energy(params, vb.r)
     l_head = jnp.mean((e_head - jax.lax.stop_gradient(e_r)) ** 2)
     loss = jnp.mean(e_r) + head_weight * l_head
-    # perp_frac -> 0 means psi is collapsing onto psi0 (the xi_node factor
-    # structurally prevents it; monitor regardless)
+    # perp_frac -> 0 means psi is collapsing onto span{phi_i} (the node
+    # factors structurally prevent it; monitor regardless)
     return loss, {"e_mean": jnp.mean(e_r), "l_head": l_head, "e_r": e_r,
                   "perp_frac": jnp.min(den / n_)}
 
@@ -180,6 +190,25 @@ def reference_state_on_batch(params0: dict, cfg: Config,
     v = operators.potential(cfg.model, vb.x, vb.y, vb.z, vb.r[:, None])
     hpsi0 = -0.5 * lap0 + v * psi0
     return (jax.lax.stop_gradient(psi0), jax.lax.stop_gradient(hpsi0))
+
+
+def reference_states_on_batch(params_list, cfg: Config,
+                              vb: VBatch) -> tuple[jax.Array, jax.Array]:
+    """Stacked (k, rows, pts) reference states, ROW-ORTHOGONALISED by
+    Gram-Schmidt in the quadrature inner product (H phi follows by
+    linearity), so quotient_loss_deflated's denominator has no cross
+    terms. Targets the (k+1)-th state of the sector — e.g. 3d sigma_g by
+    deflating against both the 1s sigma_g and 2s sigma_g artifacts."""
+    ps, hs = zip(*(reference_state_on_batch(p, cfg, vb)
+                   for p in params_list))
+    ps, hs = list(ps), list(hs)
+    for i in range(1, len(ps)):
+        for j in range(i):
+            coef = (jnp.sum(vb.w * ps[i] * ps[j], axis=1)
+                    / jnp.sum(vb.w * ps[j] * ps[j], axis=1))[:, None]
+            ps[i] = ps[i] - coef * ps[j]
+            hs[i] = hs[i] - coef * hs[j]
+    return jnp.stack(ps), jnp.stack(hs)
 
 
 def spheroidal_vbatch(cfg: Config, n_r: int = 77, n_xi: int = 48,
@@ -411,11 +440,15 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                     jnp.concatenate([vb.r, vb2.r]))
     loss_fn = None
     if deflate_params is not None:
-        # excited-state mode: deflate against the frozen reference state
-        # (its (psi0, H psi0) rows are constants of the optimisation)
-        frozen = jax.tree.map(lambda a: jnp.asarray(a, dtype),
-                              deflate_params)
-        psi0, hpsi0 = reference_state_on_batch(frozen, cfg, vb)
+        # excited-state mode: deflate against the frozen reference state(s)
+        # (their (psi0, H psi0) rows are constants of the optimisation).
+        # A dict is one reference; a list/tuple of dicts targets the
+        # (k+1)-th state of the sector (row-orthogonalised stack).
+        refs = (deflate_params if isinstance(deflate_params, (list, tuple))
+                else [deflate_params])
+        frozen = [jax.tree.map(lambda a: jnp.asarray(a, dtype), p)
+                  for p in refs]
+        psi0, hpsi0 = reference_states_on_batch(frozen, cfg, vb)
         psi0, hpsi0 = np.asarray(psi0), np.asarray(hpsi0)
 
         def loss_fn(p, cfg_, vb_, hw, _p0=psi0, _h0=hpsi0):
@@ -434,8 +467,10 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
         vb = VBatch(*(jax.device_put(a, row) for a in vb))
         params = jax.device_put(params, NamedSharding(mesh, Ps()))
         if deflate_params is not None:
-            p0_sh = jax.device_put(jnp.asarray(psi0, dtype), row)
-            h0_sh = jax.device_put(jnp.asarray(hpsi0, dtype), row)
+            # stacked refs are (k, rows, pts): rows is axis 1
+            ref_row = NamedSharding(mesh, Ps(None, "data"))
+            p0_sh = jax.device_put(jnp.asarray(psi0, dtype), ref_row)
+            h0_sh = jax.device_put(jnp.asarray(hpsi0, dtype), ref_row)
 
             def loss_fn(p, cfg_, vb_, hw, _p0=p0_sh, _h0=h0_sh):
                 return quotient_loss_deflated(p, cfg_, vb_, _p0, _h0, hw)

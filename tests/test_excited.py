@@ -25,13 +25,14 @@ def _points(n=48, seed=0):
     return x, y, z, r
 
 
-def _node_params(p=1, seed=1):
+def _node_params(p=1, seed=1, xi=True, eta=False):
     mcfg = pqs.ModelConfig(arch="separable", inversion_symmetry=p,
-                           xi_node=True)
+                           xi_node=xi, eta_node=eta)
     params = ansatz.init_params(jax.random.PRNGKey(seed), mcfg, jnp.float64)
-    k = jax.random.split(jax.random.PRNGKey(seed + 10), 6)
-    for i, name in enumerate(("lamout", "muout", "alpha2", "beta2",
-                              "node2")):
+    names = ["lamout", "muout", "alpha2", "beta2"]
+    names += (["node2"] if xi else []) + (["enode2"] if eta else [])
+    k = jax.random.split(jax.random.PRNGKey(seed + 10), len(names))
+    for i, name in enumerate(names):
         params[name]["w"] = 0.3 * jax.random.normal(
             k[i], params[name]["w"].shape, jnp.float64)
     return mcfg, params
@@ -53,9 +54,28 @@ def test_node_factor_at_init():
     np.testing.assert_allclose(ansatz.node_xi0(params, r), 2.0, rtol=1e-12)
 
 
-@pytest.mark.parametrize("p", [1, -1])
-def test_node_fwdlap_matches_nested_ad(p):
-    mcfg, params = _node_params(p)
+def test_eta_node_factor_at_init():
+    """eta_node init: psi == GZ * (eta^2 - 1/3) — the P2 Legendre nodes of
+    the d-state angular structure (sigmoid(log 1/2) == 1/3)."""
+    mcfg = pqs.ModelConfig(arch="separable", eta_node=True)
+    params = ansatz.init_params(jax.random.PRNGKey(0), mcfg, jnp.float64)
+    x, y, z, r = _points()
+    psi_v, _ = ansatz.psi(params, mcfg, x, y, z, r)
+    a = ansatz.orbital_exponent(params, r)
+    b = ansatz.gz_exponent(params, r, 1, a)
+    r1 = jnp.sqrt((x - r) ** 2 + y ** 2 + z ** 2)
+    r2 = jnp.sqrt((x + r) ** 2 + y ** 2 + z ** 2)
+    gz = jnp.exp(-a * r1 - b * r2) + jnp.exp(-a * r2 - b * r1)
+    eta2 = (0.5 * (r1 - r2) / r) ** 2
+    np.testing.assert_allclose(psi_v, gz * (eta2 - 1.0 / 3.0), rtol=1e-12)
+    np.testing.assert_allclose(ansatz.node_eta0sq(params, r), 1.0 / 3.0,
+                               rtol=1e-12)
+
+
+@pytest.mark.parametrize("p,xi,eta", [(1, True, False), (-1, True, False),
+                                      (1, False, True), (1, True, True)])
+def test_node_fwdlap_matches_nested_ad(p, xi, eta):
+    mcfg, params = _node_params(p, xi=xi, eta=eta)
     x, y, z, r = _points(32)
     s, e = ansatz.psi_fwdlap(params, mcfg, x, y, z, r)
     psi_v, e_v = ansatz.psi(params, mcfg, x, y, z, r)
@@ -76,7 +96,7 @@ def test_node_fwdlap_matches_nested_ad(p):
 
 @pytest.mark.parametrize("p", [1, -1])
 def test_node_preserves_inversion_parity(p):
-    mcfg, params = _node_params(p, seed=3)
+    mcfg, params = _node_params(p, seed=3, eta=True)
     x, y, z, r = _points()
     a, _ = ansatz.psi(params, mcfg, x, y, z, r)
     b, _ = ansatz.psi(params, mcfg, -x, -y, -z, r)
@@ -86,7 +106,7 @@ def test_node_preserves_inversion_parity(p):
 def test_node_numpy_infer_parity():
     from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import \
         numpy_infer
-    mcfg, params = _node_params(seed=5)
+    mcfg, params = _node_params(seed=5, eta=True)
     np_params = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
                  for k, v in params.items()}
     x, y, z, r = _points()
@@ -125,6 +145,52 @@ def test_deflated_polish_converges_to_2ssg():
     # the learned node sits inside the grid, away from its (1, 9) bounds
     xi0 = float(ansatz.node_xi0(out_j, jnp.asarray([1.0]))[0])
     assert 1.2 < xi0 < 5.0, xi0
+
+
+def test_multi_reference_deflation_orthogonalised():
+    """k = 2 stacked deflation (training/variational.reference_states_on_
+    batch): the references come out row-orthogonal in the quadrature inner
+    product, H phi transforms consistently (Gram-Schmidt is linear), and
+    the k = 2 deflated loss reduces EXACTLY to the k = 1 loss when the
+    second reference is a multiple of the first post-orthogonalisation
+    residual of an independent state."""
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import \
+        variational
+
+    p0, _ = checkpoint.load_params("artifacts/flagship_separable.npz")
+    p0 = p0.get("params", p0)
+    p0 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), p0)
+    _, p1 = _node_params(seed=7)          # an independent xi_node state
+    cfg = pqs.Config(model=pqs.ModelConfig(arch="separable"),
+                     domain=pqs.DomainConfig(fixed_r=1.0), dtype="float64")
+    vb = variational.spheroidal_vbatch(cfg, n_xi=24, n_eta=24)
+    ps, hs = variational.reference_states_on_batch([p0, p1], cfg, vb)
+    assert ps.shape[0] == 2 and ps.ndim == 3
+    # row-orthogonality in the quadrature inner product
+    cross = jnp.sum(vb.w * ps[0] * ps[1], axis=1)
+    norms = jnp.sqrt(jnp.sum(vb.w * ps[0] ** 2, axis=1)
+                     * jnp.sum(vb.w * ps[1] ** 2, axis=1))
+    np.testing.assert_allclose(np.asarray(cross / norms), 0.0, atol=1e-10)
+    # H phi consistency: phi_1' = phi_1 - c phi_0 => H phi_1' likewise
+    ps1, hs1 = variational.reference_state_on_batch(p1, cfg, vb)
+    ps0, hs0 = variational.reference_state_on_batch(p0, cfg, vb)
+    c = (jnp.sum(vb.w * ps1 * ps0, axis=1)
+         / jnp.sum(vb.w * ps0 * ps0, axis=1))[:, None]
+    np.testing.assert_allclose(np.asarray(hs[1]),
+                               np.asarray(hs1 - c * hs0), rtol=1e-12)
+    # the k = 2 deflated quotient of a third state runs and stays finite,
+    # and deflating (phi_0, phi_1) equals deflating the pre-orthogonalised
+    # pair in any order of the SAME span
+    _, p2 = _node_params(seed=11, eta=True)
+    p2 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), p2)
+    l2, aux2 = variational.quotient_loss_deflated(p2, cfg, vb, ps, hs, 0.0)
+    ps_r, hs_r = variational.reference_states_on_batch([p1, p0], cfg, vb)
+    l2r, aux2r = variational.quotient_loss_deflated(p2, cfg, vb, ps_r,
+                                                    hs_r, 0.0)
+    assert np.isfinite(float(l2)) and float(aux2["perp_frac"]) > 0
+    np.testing.assert_allclose(float(aux2r["e_mean"]),
+                               float(aux2["e_mean"]), rtol=1e-9)
 
 
 def test_pallas_kernel_rejects_node_params():
