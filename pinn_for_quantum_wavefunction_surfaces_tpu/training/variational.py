@@ -111,6 +111,14 @@ def quotient_loss(params: dict, cfg: Config, vb: VBatch,
                   "e_r": e_r}
 
 
+# Weight on the span{phi_i}-contamination penalty of the deflated loss.
+# Any positive O(1) value works: the deflated quotient itself is exactly
+# invariant to the contamination, so the penalty's pull to zero is
+# unopposed (1.0 Ha per unit norm fraction; at convergence the fraction is
+# ~1e-8 and the penalty is numerically invisible in the objective).
+OVERLAP_PENALTY = 1.0
+
+
 def quotient_loss_deflated(params: dict, cfg: Config, vb: VBatch,
                            psi0: jax.Array, hpsi0: jax.Array,
                            head_weight: float = 1.0):
@@ -138,6 +146,17 @@ def quotient_loss_deflated(params: dict, cfg: Config, vb: VBatch,
     finite-grid Hermiticity error; for k references the cross term sums
     over i and the quadratic term over (i, j) with
     h_ij = <phi_i H phi_j>_sym.
+
+    The deflated quotient is INVARIANT to adding span{phi_i} components to
+    psi, so nothing in it drives the raw overlap to zero — a trained psi
+    can carry an arbitrary frozen-state component (observed: a 39-R 2ssg
+    surface whose PLAIN quotient sat 660 mHa below the excited oracle, i.e.
+    psi was mostly ground state at large R while its deflated quotient was
+    perfect). OVERLAP_PENALTY * mean contamination (the norm fraction of
+    psi inside the span, 1 - den/n) removes that gauge freedom: the penalty
+    is exactly zero at the desired solution (the true excited state is
+    orthogonal to the lower states up to the references' own µHa error)
+    and costs nothing elsewhere.
     """
     n_r, n_pts = vb.x.shape
     rr = jnp.broadcast_to(vb.r[:, None], (n_r, n_pts)).reshape(-1)
@@ -167,11 +186,14 @@ def quotient_loss_deflated(params: dict, cfg: Config, vb: VBatch,
     e_r = num / den
     e_head = ansatz.energy(params, vb.r)
     l_head = jnp.mean((e_head - jax.lax.stop_gradient(e_r)) ** 2)
-    loss = jnp.mean(e_r) + head_weight * l_head
+    contam = 1.0 - den / n_            # norm fraction of psi in the span
+    loss = (jnp.mean(e_r) + head_weight * l_head
+            + OVERLAP_PENALTY * jnp.mean(contam))
     # perp_frac -> 0 means psi is collapsing onto span{phi_i} (the node
     # factors structurally prevent it; monitor regardless)
     return loss, {"e_mean": jnp.mean(e_r), "l_head": l_head, "e_r": e_r,
-                  "perp_frac": jnp.min(den / n_)}
+                  "perp_frac": jnp.min(den / n_),
+                  "contam": jnp.max(contam)}
 
 
 def reference_state_on_batch(params0: dict, cfg: Config,
