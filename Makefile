@@ -3,7 +3,8 @@
 
 CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
-.PHONY: test bench train evaluate dryrun pallas-ab dispersion ref-recipe
+.PHONY: test bench train evaluate dryrun pallas-ab dispersion ref-recipe \
+	excited-2ssg excited-3psu excited-3dsg
 
 test:
 	$(CPU_ENV) python -m pytest tests/ -q
@@ -35,6 +36,40 @@ evaluate:
 dryrun:
 	$(CPU_ENV) XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	  python __graft_entry__.py dryrun 8
+
+# Excited-state surfaces by deflation (~80 min each on this 1-core host;
+# DESIGN.md section 10). 3dsg needs the 2ssg artifact first.
+excited-2ssg:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/excited_2ssg --arch separable --xi-node \
+	  --spheroidal --deflate artifacts/flagship_separable.npz \
+	  --adam-warmup 1500 --lbfgs 800 --n-r 39 --n-xi 40 --n-eta 24 \
+	  --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/excited_2ssg/variational.npz --dtype float64 \
+	  --target-state 2ssg
+
+excited-3psu:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/excited_3psu --arch separable --xi-node \
+	  --state ungerade --spheroidal \
+	  --deflate artifacts/ungerade_separable.npz \
+	  --adam-warmup 1500 --lbfgs 800 --n-r 39 --n-xi 40 --n-eta 24 \
+	  --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/excited_3psu/variational.npz --state ungerade \
+	  --dtype float64 --target-state 3psu
+
+excited-3dsg:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/excited_3dsg --arch separable --eta-node \
+	  --spheroidal --deflate artifacts/flagship_separable.npz \
+	  --deflate artifacts/excited_2ssg.npz \
+	  --adam-warmup 1500 --lbfgs 800 --n-r 39 --n-xi 40 --n-eta 24 \
+	  --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/excited_3dsg/variational.npz --dtype float64 \
+	  --target-state 3dsg
 
 # Per-R variational-floor study for both ansatz families (39 Rs each,
 # figure -> artifacts/figures/dispersion.pdf; ~1.5 h on this 1-core host)

@@ -86,6 +86,35 @@ def surface_figure(surf: dict, path: str = "figures/energy_surface.pdf") -> str:
     return _save(fig, path)
 
 
+def spectrum_figure(states: dict, path: str = "figures/spectrum.pdf") -> str:
+    """Excited-state spectrum panel (beyond the reference, which only ever
+    reaches the lowest state of each inversion sector): one E(R) curve per
+    trained state vs its exact two-centre ODE oracle, with a signed-error
+    subpanel in mHa.
+
+    states: {oracle_state_name: surf} with surf as returned by
+    ``analysis.energy.surface`` (keys R, E_int and optionally E_net).
+    """
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(7, 8), sharex=True,
+                                   height_ratios=[2, 1])
+    colors = plt.cm.tab10(np.linspace(0, 1, 10))
+    for i, (state, surf) in enumerate(states.items()):
+        r = np.asarray(surf["R"])
+        exact = aen.exact_energy_ode(r, state=state)
+        c = colors[i % 10]
+        ax1.plot(r, exact, "-", c=c, lw=1, alpha=0.6)
+        ax1.plot(r, surf["E_int"], ".", c=c, ms=4, label=state)
+        ax2.plot(r, 1e3 * (np.asarray(surf["E_int"]) - exact), ".-", c=c,
+                 lw=0.8, ms=3, label=state)
+    ax1.set_ylabel("E (Ha)")
+    ax1.legend(title="state (lines: exact ODE)")
+    ax2.axhline(0, c="k", lw=0.5)
+    ax2.set_xlabel("R (bohr, half-distance)")
+    ax2.set_ylabel("E_int - exact (mHa)")
+    fig.tight_layout()
+    return _save(fig, path)
+
+
 def gate_figure(params, cfg: Config, path: str = "figures/gate.pdf") -> str:
     """The gate / network-importance function f(R) (reference
     poc/main.py:1092-1111)."""
