@@ -193,6 +193,33 @@ def test_multi_reference_deflation_orthogonalised():
                                float(aux2["e_mean"]), rtol=1e-9)
 
 
+def test_sharded_deflated_polish_matches_single_device():
+    """The deflated polish R-shards the frozen reference stack along with
+    the quadrature rows ((k, rows, pts) on NamedSharding(None, 'data'));
+    mesh=... must reproduce the single-device deflated polish to
+    fp-reduction tolerance."""
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    from pinn_for_quantum_wavefunction_surfaces_tpu.parallel import \
+        mesh as pmesh
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import \
+        variational
+
+    p0, _ = checkpoint.load_params("artifacts/flagship_separable.npz")
+    p0 = p0.get("params", p0)
+    _, p1 = _node_params(seed=7)
+    cfg = pqs.Config(model=pqs.ModelConfig(arch="separable", xi_node=True,
+                                           eta_node=True), dtype="float64")
+    params = ansatz.init_params(jax.random.PRNGKey(2), cfg.model,
+                                jnp.float64)
+    kw = dict(n_r=8, n_xi=10, n_eta=8, steps=3, adam_steps=2,
+              deflate_params=[p0, p1])
+    ref = variational.polish_spheroidal(params, cfg, **kw)
+    m = pmesh.make_mesh(8)
+    got = variational.polish_spheroidal(params, cfg, mesh=m, **kw)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-12), ref, got)
+
+
 def test_pallas_kernel_rejects_node_params():
     from pinn_for_quantum_wavefunction_surfaces_tpu.ops.pallas_separable \
         import psi_lap_train_separable
