@@ -467,6 +467,17 @@ def cmd_evaluate(args) -> None:
         "int_max_err_mHa": round(float(np.abs(err_int).max()), 4),
         "int_min_signed_mHa": round(float(err_int.min()), 4),
     }
+    if getattr(args, "contam_vs", None):
+        # excited-state certificate: norm fraction of psi inside the span
+        # of the deflated lower states, on the independent evaluation grid
+        from .training import variational
+        refs = [{k: {kk: np.asarray(vv, cfg.dtype) for kk, vv in v.items()}
+                 for k, v in _load_params(p).items()}
+                for p in args.contam_vs]
+        frac = variational.contamination_curve(new_params, refs, cfg,
+                                               surf["R"])
+        out["contam_max_frac"] = float(frac.max())
+        out["contam_mean_frac"] = float(frac.mean())
     if table is not None:
         # the exported spline table scored as E_net — on the standard grid
         # AND at off-knot points (half-spacing offsets), so the number
@@ -671,6 +682,11 @@ def main(argv=None) -> None:
                    help="knot count for the exported spline E(R) table "
                         "(per-R spheroidal Rayleigh quotients; bypasses the "
                         "MLP head's fit floor; 0 disables)")
+    p.add_argument("--contam-vs", metavar="CKPT", action="append",
+                   dest="contam_vs",
+                   help="report the norm fraction of psi inside the span of "
+                        "these frozen lower-state checkpoints (excited-state "
+                        "certificate; repeatable)")
     p.add_argument("--target-state", dest="target_state",
                    choices=["1ssg", "2psu", "2ssg", "3dsg", "3psu"],
                    help="exact-oracle state to score against (default: "

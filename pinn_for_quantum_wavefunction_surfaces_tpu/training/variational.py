@@ -233,6 +233,26 @@ def reference_states_on_batch(params_list, cfg: Config,
     return jnp.stack(ps), jnp.stack(hs)
 
 
+def contamination_curve(params: dict, refs, cfg: Config, r_values,
+                        n_xi: int = 64, n_eta: int = 64) -> np.ndarray:
+    """Per-R norm fraction of psi inside span{refs} — the excited-state
+    certificate that the overlap penalty actually worked (computed on an
+    INDEPENDENT finer quadrature grid than training's, like cli evaluate's
+    energy scoring). refs: list of frozen parameter pytrees."""
+    vb = spheroidal_vbatch(cfg, n_xi=n_xi, n_eta=n_eta,
+                           r_values=np.asarray(r_values, np.float64))
+    ps, _ = reference_states_on_batch(refs, cfg, vb)
+    n_r, n_pts = vb.x.shape
+    rr = jnp.broadcast_to(vb.r[:, None], (n_r, n_pts)).reshape(-1)
+    psi, _ = ansatz.psi(params, cfg.model, vb.x.reshape(-1),
+                        vb.y.reshape(-1), vb.z.reshape(-1), rr)
+    psi = psi.reshape(n_r, n_pts)
+    n_ = jnp.sum(vb.w * psi * psi, axis=1)
+    o = jnp.sum(vb.w * psi * ps, axis=2)
+    n0 = jnp.sum(vb.w * ps * ps, axis=2)
+    return np.asarray(jnp.sum(o * o / n0, axis=0) / n_)
+
+
 def spheroidal_vbatch(cfg: Config, n_r: int = 77, n_xi: int = 48,
                       n_eta: int = 48, xi_span: float = 20.0,
                       dtype=None, r_values=None) -> VBatch:
