@@ -220,6 +220,41 @@ def test_sharded_deflated_polish_matches_single_device():
         np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-12), ref, got)
 
 
+def test_excited_2ssg_artifact_regression():
+    """Golden regression on the shipped 2s sigma_g artifact (the SECOND
+    gerade state — unreachable by any plain energy-minimising objective):
+    E_int within 0.6 mHa of the excited ODE oracle at probe Rs,
+    variationally positive, and ground-state contamination below 1e-4
+    (the deflation + overlap-penalty certificate)."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import \
+        variational
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "excited_2ssg.npz")
+    if not os.path.exists(path):
+        pytest.skip("2ssg artifact not present")
+    params, _ = checkpoint.load_params(path)
+    params = params.get("params", params)
+    params = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+              for k, v in params.items()}
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable", xi_node=True))
+    r_probe = np.array([0.2, 1.0, 2.0, 4.0])
+    exact = aen.exact_energy_ode(r_probe, state="2ssg")
+    for ri, ex in zip(r_probe, exact):
+        e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
+        err_mha = 1e3 * (e - ex)
+        assert -1e-3 <= err_mha <= 0.6, (ri, err_mha)
+    p0, _ = checkpoint.load_params("artifacts/flagship_separable.npz")
+    p0 = p0.get("params", p0)
+    frac = variational.contamination_curve(params, [p0], cfg, [1.0, 4.0],
+                                           n_xi=48, n_eta=48)
+    assert frac.max() < 1e-4, frac
+
+
 def test_pallas_kernel_rejects_node_params():
     from pinn_for_quantum_wavefunction_surfaces_tpu.ops.pallas_separable \
         import psi_lap_train_separable
