@@ -144,6 +144,12 @@ def exponent_figure(params, cfg: Config,
     fig, ax = plt.subplots()
     ax.plot(r, a, "b", label=r"$\alpha(R)$ (primary)")
     ax.plot(r, b, "r", label=r"$b(R)$ (Guillemin-Zener)")
+    if "node1" in params:
+        ax.plot(r, np.asarray(ansatz.node_xi0(params, rj)), "g--",
+                label=r"$\xi_0(R)$ (radial node)")
+    if "enode1" in params:
+        ax.plot(r, np.sqrt(np.asarray(ansatz.node_eta0sq(params, rj))),
+                "m--", label=r"$\eta_0(R)$ (angular node)")
     ax.axhline(1.0, c="k", ls=":", alpha=0.5)
     ax.set_xlabel("R (bohr, half-distance)")
     ax.set_ylabel("orbital exponent")
