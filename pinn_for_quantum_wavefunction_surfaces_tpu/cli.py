@@ -386,6 +386,14 @@ def cmd_variational(args) -> None:
         if deflate_params is not None:
             meta["deflated"] = ",".join(os.path.basename(p)
                                         for p in args.deflate)
+            # k deflated references target the (k+1)-th state of the
+            # sector; record it so `cli evaluate` scores against the right
+            # oracle by default
+            sector = (["1ssg", "2ssg", "3dsg"]
+                      if cfg.model.inversion_symmetry > 0
+                      else ["2psu", "3psu"])
+            if len(deflate_params) < len(sector):
+                meta["target_state"] = sector[len(deflate_params)]
         checkpoint.save(os.path.join(args.out, "variational.npz"),
                         {"params": polished}, meta=meta)
         print(json.dumps({"out": args.out, "polish": polish,
@@ -419,6 +427,17 @@ def cmd_evaluate(args) -> None:
     params = _load_params(args.checkpoint)
     params = {k: {kk: np.asarray(vv, cfg.dtype) for kk, vv in v.items()}
               for k, v in params.items()}
+    state = getattr(args, "target_state", None)
+    if state is None and args.checkpoint.endswith(".npz"):
+        # deflated checkpoints record which state they target (meta set by
+        # cmd_variational) — score against the right oracle by default
+        try:
+            _, ck_meta = checkpoint.load_params(args.checkpoint)
+            state = (ck_meta or {}).get("target_state")
+        except Exception:
+            pass
+    if state is None:
+        state = "2psu" if cfg.model.inversion_symmetry < 0 else "1ssg"
     new_params, info = distill.distill(params, cfg, n=args.n_test,
                                        steps=args.steps)
     out_dir = args.out or os.path.dirname(os.path.abspath(args.checkpoint))
@@ -434,14 +453,12 @@ def cmd_evaluate(args) -> None:
         tree["e_table"] = table
     checkpoint.save(os.path.join(out_dir, "evaluated.npz"), tree,
                     meta={"fit_rms": info["fit_rms"],
-                          "table_knots": args.table_knots})
+                          "table_knots": args.table_knots,
+                          "target_state": state})
     surf = aen.surface(new_params, cfg, n=args.n_test, lcao=False,
                        grid="spheroidal")
     aen.save_surface(os.path.join(out_dir, "energy_eval.pkl"), surf)
     oracle = args.oracle
-    state = getattr(args, "target_state", None)
-    if state is None:
-        state = "2psu" if cfg.model.inversion_symmetry < 0 else "1ssg"
     if state != "1ssg":
         # only the ODE oracle covers non-ground states (the Wind table is
         # the gerade ground state)

@@ -92,6 +92,8 @@ def test_variational_deflate_cli_wiring(tmp_path, capsys):
                                                        "variational.npz"))
     assert "node1" in params.get("params", params)
     assert meta["deflated"] == "flagship_separable.npz"
+    # k=1 gerade deflation targets the second gerade state
+    assert meta["target_state"] == "2ssg"
     # --deflate without --spheroidal must be rejected
     with pytest.raises(SystemExit):
         cli.main(["variational", "--out", out, "--arch", "separable",
