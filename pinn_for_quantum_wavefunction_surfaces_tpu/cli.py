@@ -371,7 +371,8 @@ def cmd_variational(args) -> None:
                 params, cfg, n_r=args.n_r, n_xi=args.n_xi, n_eta=args.n_eta,
                 steps=args.lbfgs, adam_steps=args.adam_warmup,
                 warmup_save=os.path.join(args.out, "warmup.npz"),
-                mesh=mesh, log_cb=_log, deflate_params=deflate_params)
+                mesh=mesh, log_cb=_log, deflate_params=deflate_params,
+                memory_size=args.lbfgs_memory)
         else:
             polished = variational.polish_lbfgs(
                 params, cfg, n_r=args.n_r, n_pts=args.n_pts,
@@ -667,6 +668,10 @@ def main(argv=None) -> None:
     p.add_argument("--adam-warmup", type=int, default=0, dest="adam_warmup",
                    help="deterministic-Adam steps before the L-BFGS polish "
                         "(1 eval/step vs ~15 for cold L-BFGS linesearch)")
+    p.add_argument("--lbfgs-memory", type=int, default=15,
+                   dest="lbfgs_memory",
+                   help="L-BFGS curvature-memory size (the stiff excited "
+                        "node-factor families benefit from 30-50)")
     p.add_argument("--xi-node", action="store_true", dest="xi_node",
                    help="trainable radial node factor (xi - xi0(R)) on the "
                         "separable ansatz — radially excited states "

@@ -296,7 +296,7 @@ def spheroidal_vbatch(cfg: Config, n_r: int = 77, n_xi: int = 48,
 
 def _lbfgs_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
                     head_weight: float, log_cb=None,
-                    loss_fn=None) -> dict:
+                    loss_fn=None, memory_size: int = 15) -> dict:
     """Shared L-BFGS driver on ``loss_fn`` (default quotient_loss) over a
     fixed batch.
 
@@ -310,7 +310,10 @@ def _lbfgs_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
     def f(p):
         return loss_fn(p, cfg, vb, head_weight)[0]
 
-    opt = optax.lbfgs()
+    # memory_size: optax default 15 suits the ground-state family; the
+    # excited (node-factor) families are stiffer — larger curvature memory
+    # measurably accelerates their slow large-R tail
+    opt = optax.lbfgs(memory_size=memory_size)
     state = opt.init(params)
     value_and_grad = optax.value_and_grad_from_state(f)
 
@@ -420,7 +423,8 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                       dual_grid: bool = True, adam_steps: int = 0,
                       warmup_save: Optional[str] = None,
                       mesh=None, log_cb=None,
-                      deflate_params: Optional[dict] = None) -> dict:
+                      deflate_params: Optional[dict] = None,
+                      memory_size: int = 15) -> dict:
     """L-BFGS on the EXACT (quadrature) variational objective.
 
     Replaces the MC estimator entirely: each step sees the true Rayleigh
@@ -528,7 +532,7 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                             {"params": jax.tree.map(np.asarray, params)},
                             meta={"polish": "spheroidal-adam-warmup"})
     return _lbfgs_minimize(params, cfg, vb, steps, head_weight, log_cb,
-                           loss_fn=loss_fn)
+                           loss_fn=loss_fn, memory_size=memory_size)
 
 
 class VState(NamedTuple):
