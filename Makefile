@@ -43,8 +43,8 @@ excited-2ssg:
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
 	  variational --out runs/excited_2ssg --arch separable --xi-node \
 	  --spheroidal --deflate artifacts/flagship_separable.npz \
-	  --adam-warmup 1500 --lbfgs 800 --n-r 39 --n-xi 40 --n-eta 24 \
-	  --dtype float64
+	  --adam-warmup 1500 --lbfgs 800 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 40 --n-eta 24 --dtype float64
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
 	  evaluate runs/excited_2ssg/variational.npz --dtype float64 \
 	  --target-state 2ssg
@@ -54,8 +54,8 @@ excited-3psu:
 	  variational --out runs/excited_3psu --arch separable --xi-node \
 	  --state ungerade --spheroidal \
 	  --deflate artifacts/ungerade_separable.npz \
-	  --adam-warmup 1500 --lbfgs 800 --n-r 39 --n-xi 40 --n-eta 24 \
-	  --dtype float64
+	  --adam-warmup 1500 --lbfgs 800 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 40 --n-eta 24 --dtype float64
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
 	  evaluate runs/excited_3psu/variational.npz --state ungerade \
 	  --dtype float64 --target-state 3psu
@@ -65,8 +65,8 @@ excited-3dsg:
 	  variational --out runs/excited_3dsg --arch separable --eta-node \
 	  --spheroidal --deflate artifacts/flagship_separable.npz \
 	  --deflate artifacts/excited_2ssg.npz \
-	  --adam-warmup 1500 --lbfgs 800 --n-r 39 --n-xi 40 --n-eta 24 \
-	  --dtype float64
+	  --adam-warmup 1500 --lbfgs 800 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 40 --n-eta 24 --dtype float64
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
 	  evaluate runs/excited_3dsg/variational.npz --dtype float64 \
 	  --target-state 3dsg
