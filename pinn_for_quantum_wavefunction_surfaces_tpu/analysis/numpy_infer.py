@@ -94,12 +94,19 @@ def psi(params: dict, x, y, z, r, arch: str = "symmetric",
         cap = 3.0  # models/ansatz.LOG_CORR_CAP
         out = phi * np.exp(cap * np.tanh((lam[..., 0] + mu[..., 0]) / cap))
         if "node1" in params:
-            # radial node factor (models/ansatz.node_xi0): excited states
+            # legacy radial node factor (models/ansatz.node_xi0)
             a = _sigmoid(r[..., None] @ params["node1"]["w"]
                          + params["node1"]["b"])
             h = (a @ params["node2"]["w"] + params["node2"]["b"])[..., 0]
             xi0 = 1.0 + 8.0 * _sigmoid(h)  # models/ansatz.XI0_CAP
             out = out * (0.5 * (r1 + r2) - r * xi0)
+        if "rnode1" in params:
+            # R-aware radial node: physical radius r + 12 sigmoid(head)
+            a = _sigmoid(r[..., None] @ params["rnode1"]["w"]
+                         + params["rnode1"]["b"])
+            h = (a @ params["rnode2"]["w"] + params["rnode2"]["b"])[..., 0]
+            out = out * (0.5 * (r1 + r2)
+                         - (r + 12.0 * _sigmoid(h)))  # ansatz.RNODE_CAP
         if "enode1" in params:
             # angular node factor (models/ansatz.node_eta0sq)
             a = _sigmoid(r[..., None] @ params["enode1"]["w"]

@@ -138,9 +138,12 @@ def _init_separable(keys, mcfg: ModelConfig, dtype) -> dict:
     }
     params["eout"]["b"] = jnp.full((1,), mcfg.eout_bias_init, dtype)
     if mcfg.xi_node:
-        params["node1"] = _init_linear(keys[10], 1, mcfg.hidden_alpha, dtype)
-        params["node2"] = {"w": jnp.zeros((mcfg.hidden_alpha, 1), dtype),
-                           "b": jnp.full((1,), NODE_BIAS_INIT, dtype)}
+        # R-aware physical-radius parameterisation (see node_xi0; the
+        # legacy fixed-cap "node*" form is kept for shipped checkpoints)
+        params["rnode1"] = _init_linear(keys[10], 1, mcfg.hidden_alpha,
+                                        dtype)
+        params["rnode2"] = {"w": jnp.zeros((mcfg.hidden_alpha, 1), dtype),
+                            "b": jnp.full((1,), RNODE_BIAS_INIT, dtype)}
     if mcfg.eta_node:
         params["enode1"] = _init_linear(keys[11], 1, mcfg.hidden_alpha,
                                         dtype)
@@ -211,9 +214,28 @@ BETA_BIAS_INIT = float(np.arctanh(0.1 / _BETA_HALF - 1.0))
 XI0_CAP = 8.0
 NODE_BIAS_INIT = float(np.log(1.0 / (XI0_CAP - 1.0)))  # xi0(R) == 2 at init
 
+# R-aware radial node (the CURRENT parameterisation, params key "rnode*"):
+# the PHYSICAL node radius p_half = r xi0 = r + RNODE_CAP sigmoid(head) —
+# i.e. the node ellipsoid sits a bounded PHYSICAL distance (0, 12) bohr
+# beyond the foci, independent of R. The legacy fixed-xi cap above binds
+# hard for 3p sigma_u: its node needs r xi0 ~ 2.7 bohr at R = 0.2, i.e.
+# xi0 ~ 13.5 > 9 — the trained head saturated at xi0 = 9.0 and the small-R
+# surface was 29 mHa off. Both learned node curves (2ssg, 3psu) are smooth
+# r + O(1..5) bohr, exactly this form. Still inside the quadrature span
+# (r xi <= r + 20 bohr) for every R. Legacy "node*" checkpoints keep the
+# old formula (params-keyed dispatch).
+RNODE_CAP = 12.0
+RNODE_BIAS_INIT = float(np.log(0.2))  # node at r + 2 bohr at init
+
 
 def node_xi0(params: dict, r: jax.Array) -> jax.Array:
-    """Trainable node position xi0(R) (xi_node models)."""
+    """Trainable node position xi0(R) (xi_node models); the psi factor is
+    (p_half - r * xi0) with p_half = (r1+r2)/2."""
+    if "rnode1" in params:
+        a = jax.nn.sigmoid(r[..., None] @ params["rnode1"]["w"]
+                           + params["rnode1"]["b"])
+        h = (a @ params["rnode2"]["w"] + params["rnode2"]["b"])[..., 0]
+        return 1.0 + (RNODE_CAP / r) * jax.nn.sigmoid(h)
     a = jax.nn.sigmoid(r[..., None] @ params["node1"]["w"]
                        + params["node1"]["b"])
     h = (a @ params["node2"]["w"] + params["node2"]["b"])[..., 0]
@@ -324,7 +346,7 @@ def _psi_separable(params: dict, mcfg: ModelConfig, x, y, z, r):
     c = LOG_CORR_CAP
     log_corr = c * jnp.tanh((lam[..., 0] + mu[..., 0]) / c)
     out = phi * jnp.exp(log_corr)
-    if "node1" in params:
+    if "node1" in params or "rnode1" in params:
         # radially excited states: one simple zero on the xi = xi0(R)
         # ellipsoid ((r1+r2)/2 = R xi0; the R factor is spatially constant
         # and absorbed by per-R normalisation)
@@ -441,7 +463,7 @@ def _psi_separable_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
         fwdlap.tanh(fwdlap.scale(fwdlap.add(lam, mu), 1.0 / c)), c)
     corr = fwdlap.exp(bounded)
     out = fwdlap.mul(phi, corr)
-    if "node1" in params:
+    if "node1" in params or "rnode1" in params:
         q = fwdlap.add(p_half,
                        fwdlap.const(-(r * node_xi0(params, r))[..., None]))
         out = fwdlap.mul(out, q)

@@ -360,7 +360,7 @@ def psi_lap_train_separable(params: dict, mcfg, x, y, z, r,
     if "lam1" not in params:
         raise NotImplementedError("psi_lap_train_separable needs separable "
                                   "params (lam*/mu* subtrees)")
-    if "node1" in params or "enode1" in params:
+    if "node1" in params or "rnode1" in params or "enode1" in params:
         raise NotImplementedError(
             "the fused separable kernel does not implement the xi_node / "
             "eta_node factors (excited states) — use kernel='xla'")

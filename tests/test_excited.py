@@ -30,7 +30,7 @@ def _node_params(p=1, seed=1, xi=True, eta=False):
                            xi_node=xi, eta_node=eta)
     params = ansatz.init_params(jax.random.PRNGKey(seed), mcfg, jnp.float64)
     names = ["lamout", "muout", "alpha2", "beta2"]
-    names += (["node2"] if xi else []) + (["enode2"] if eta else [])
+    names += (["rnode2"] if xi else []) + (["enode2"] if eta else [])
     k = jax.random.split(jax.random.PRNGKey(seed + 10), len(names))
     for i, name in enumerate(names):
         params[name]["w"] = 0.3 * jax.random.normal(
@@ -39,7 +39,8 @@ def _node_params(p=1, seed=1, xi=True, eta=False):
 
 
 def test_node_factor_at_init():
-    """xi_node init: psi == GZ * ((r1+r2)/2 - 2R) — node at xi0 = 2."""
+    """xi_node init (R-aware form): psi == GZ * ((r1+r2)/2 - (R + 2)) —
+    the node ellipsoid sits 2 bohr beyond the foci at every R."""
     mcfg = pqs.ModelConfig(arch="separable", xi_node=True)
     params = ansatz.init_params(jax.random.PRNGKey(0), mcfg, jnp.float64)
     x, y, z, r = _points()
@@ -49,9 +50,33 @@ def test_node_factor_at_init():
     r1 = jnp.sqrt((x - r) ** 2 + y ** 2 + z ** 2)
     r2 = jnp.sqrt((x + r) ** 2 + y ** 2 + z ** 2)
     gz = jnp.exp(-a * r1 - b * r2) + jnp.exp(-a * r2 - b * r1)
-    want = gz * (0.5 * (r1 + r2) - 2.0 * r)
+    want = gz * (0.5 * (r1 + r2) - (r + 2.0))
     np.testing.assert_allclose(psi_v, want, rtol=1e-13)
-    np.testing.assert_allclose(ansatz.node_xi0(params, r), 2.0, rtol=1e-12)
+    np.testing.assert_allclose(ansatz.node_xi0(params, r) * r, r + 2.0,
+                               rtol=1e-12)
+
+
+def test_legacy_node_checkpoint_formula():
+    """Shipped xi_node checkpoints (params key "node*") keep the legacy
+    fixed-cap formula: the 2ssg artifact's node curve must stay bit-stable
+    under the R-aware refactor."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "excited_2ssg.npz")
+    if not os.path.exists(path):
+        pytest.skip("2ssg artifact not present")
+    params, _ = checkpoint.load_params(path)
+    params = params.get("params", params)
+    params = {k: {kk: jnp.asarray(vv, jnp.float64) for kk, vv in v.items()}
+              for k, v in params.items()}
+    r = jnp.asarray([0.2, 1.0, 4.0])
+    a = jax.nn.sigmoid(r[..., None] @ params["node1"]["w"]
+                       + params["node1"]["b"])
+    h = (a @ params["node2"]["w"] + params["node2"]["b"])[..., 0]
+    want = 1.0 + 8.0 * jax.nn.sigmoid(h)
+    np.testing.assert_allclose(ansatz.node_xi0(params, r), want,
+                               rtol=1e-15)
 
 
 def test_eta_node_factor_at_init():
