@@ -111,53 +111,60 @@ def quotient_loss(params: dict, cfg: Config, vb: VBatch,
                   "e_r": e_r}
 
 
-# Weight on the span{phi_i}-contamination penalty of the deflated loss.
-# Any positive O(1) value works: the deflated quotient itself is exactly
-# invariant to the contamination, so the penalty's pull to zero is
-# unopposed (1.0 Ha per unit norm fraction; at convergence the fraction is
-# ~1e-8 and the penalty is numerically invisible in the objective).
-OVERLAP_PENALTY = 1.0
+# Weight on the span{phi_i}-contamination term of the deflated loss, in Ha
+# per unit norm fraction. Must exceed the largest spectral gap
+# E_target - E_1 on the surface (gerade 1ssg->2ssg at R = 0.2 is ~1.44 Ha;
+# margin on top): near zero contamination BOTH the energy gain from mixing
+# in a lower state and the penalty are LINEAR in the contamination, so for
+# W > gap the penalty dominates and the optimum sits at EXACTLY zero
+# contamination — no bias, no trade-off.
+OVERLAP_PENALTY = 4.0
 
 
 def quotient_loss_deflated(params: dict, cfg: Config, vb: VBatch,
                            psi0: jax.Array, hpsi0: jax.Array,
                            head_weight: float = 1.0):
-    """(loss, aux): mean DEFLATED Rayleigh quotient — the quotient of the
-    component of psi ORTHOGONAL to a frozen reference state psi0, per R row.
+    """(loss, aux): PENALTY-DEFLATED Rayleigh quotient per R row —
+    plain quotient + OVERLAP_PENALTY * contamination, targeting the lowest
+    state of the sector ORTHOGONAL to the frozen references phi_i
+    (capability beyond the reference, which has no excited-state machinery
+    at all beyond the P = -1 sector choice):
 
-    With psi0 the polished ground state of the symmetry sector (µHa-accurate
-    in this framework), min-max gives  min_{psi perp psi0} Q[psi] = E_2 up
-    to O(|psi0 - psi0_exact|^2) — so aggressive optimisation converges to
-    the SECOND eigenvalue instead of sinking to the ground state (which
-    plain quotient minimisation would do for any state that is not the
-    lowest of its sector; capability beyond the reference, which has no
-    excited-state machinery at all beyond the P = -1 sector choice).
+        q_r     = <psi H psi> / <psi psi>
+        contam  = sum_i <psi, phi_i>^2 / (<phi_i phi_i> <psi psi>)
+        loss    = mean(q_r) + W * mean(contam) + head term
+
+    Near contam = 0 both the energy gain from mixing a lower state into
+    psi and the penalty are LINEAR in contam, so for W > E_target - E_1
+    the optimum has EXACTLY zero contamination and value E_target — no
+    bias, no trade-off (with the µHa-accurate frozen references the
+    residual bias is O(|phi - exact|^2) ~ 1e-12 Ha).
+
+    Two rejected designs, both field-tested to failure:
+
+    1. PROJECTION-ONLY deflation (the textbook min over psi perp phi):
+       invariant to span{phi_i} components, so psi drifted to mostly
+       ground state on a 39-R surface (plain quotient 660 mHa below the
+       excited oracle) while the projected objective looked converged.
+    2. Projected quotient PLUS mean-contamination penalty: the projected
+       quotient divides by the PERP norm, so a single near-collapsed row
+       is ill-conditioned — quadrature noise amplifies without bound and
+       e_row can sink arbitrarily far below the spectrum, out-earning any
+       linear penalty (observed with L-BFGS memory 50: E_obj dove 70 mHa
+       below the exact mean in one linesearch jump, E_int garbage). The
+       plain quotient here is floored at ~E_1 on any grid (same gaming
+       guards as the ground-state objective: bounded log-correction,
+       dual grids, best-iterate), and the penalty term has no division by
+       a vanishing quantity — the runaway basin does not exist.
 
     psi0, hpsi0: (n_rows, n_pts) — or (k, n_rows, n_pts) for k reference
-    states — precomputed values of the frozen reference(s) and H psi0 on
-    the SAME quadrature rows as ``vb`` (zero-weight padding points
-    contribute nothing; multiple references must be row-orthogonalised,
-    which reference_states_on_batch does). All projections use the row's
-    quadrature inner product; for one reference:
-        t     = <psi, psi0> / <psi0, psi0>
-        e_r   = (<psi H psi> - 2 t <psi0 H psi>_sym + t^2 <psi0 H psi0>)
-                / (<psi, psi> - t <psi, psi0>)
-    where <psi0 H psi>_sym = (<psi0 hpsi> + <psi hpsi0>)/2 symmetrises the
-    finite-grid Hermiticity error; for k references the cross term sums
-    over i and the quadratic term over (i, j) with
-    h_ij = <phi_i H phi_j>_sym.
-
-    The deflated quotient is INVARIANT to adding span{phi_i} components to
-    psi, so nothing in it drives the raw overlap to zero — a trained psi
-    can carry an arbitrary frozen-state component (observed: a 39-R 2ssg
-    surface whose PLAIN quotient sat 660 mHa below the excited oracle, i.e.
-    psi was mostly ground state at large R while its deflated quotient was
-    perfect). OVERLAP_PENALTY * mean contamination (the norm fraction of
-    psi inside the span, 1 - den/n) removes that gauge freedom: the penalty
-    is exactly zero at the desired solution (the true excited state is
-    orthogonal to the lower states up to the references' own µHa error)
-    and costs nothing elsewhere.
+    states — the frozen reference(s) on the SAME quadrature rows as ``vb``
+    (zero-weight padding points contribute nothing; multiple references
+    must be row-orthogonalised, which reference_states_on_batch does —
+    the contamination sum assumes an orthogonal stack). hpsi0 is accepted
+    for API stability (the projection variant needed it) but unused.
     """
+    del hpsi0
     n_r, n_pts = vb.x.shape
     rr = jnp.broadcast_to(vb.r[:, None], (n_r, n_pts)).reshape(-1)
     s, _ = ansatz.psi_fwdlap(params, cfg.model, vb.x.reshape(-1),
@@ -167,32 +174,20 @@ def quotient_loss_deflated(params: dict, cfg: Config, vb: VBatch,
     v = operators.potential(cfg.model, vb.x, vb.y, vb.z, vb.r[:, None])
     hpsi = -0.5 * lap + v * psi
     if psi0.ndim == 2:
-        psi0, hpsi0 = psi0[None], hpsi0[None]   # (k=1, rows, pts)
+        psi0 = psi0[None]                         # (k=1, rows, pts)
     w = vb.w
     n_ = jnp.sum(w * psi * psi, axis=1)
     s_ = jnp.sum(w * psi * hpsi, axis=1)
     o = jnp.sum(w * psi * psi0, axis=2)           # (k, rows) <psi, phi_i>
     n0 = jnp.sum(w * psi0 * psi0, axis=2)         # (k, rows)
-    c = 0.5 * (jnp.sum(w * psi0 * hpsi, axis=2)
-               + jnp.sum(w * psi * hpsi0, axis=2))
-    # h_ij = <phi_i H phi_j>_sym: constants of the optimisation (folded by
-    # jit); the references are row-orthogonal so den has no cross terms
-    h = 0.5 * (jnp.einsum("irp,jrp->ijr", w[None] * psi0, hpsi0)
-               + jnp.einsum("irp,jrp->ijr", w[None] * hpsi0, psi0))
-    t = o / n0                                     # (k, rows)
-    num = (s_ - 2.0 * jnp.sum(t * c, axis=0)
-           + jnp.einsum("ir,ijr,jr->r", t, h, t))
-    den = n_ - jnp.sum(t * o, axis=0)
-    e_r = num / den
+    q_r = s_ / n_
+    contam = jnp.sum(o * o / n0, axis=0) / n_     # (rows,) in [0, 1]
     e_head = ansatz.energy(params, vb.r)
-    l_head = jnp.mean((e_head - jax.lax.stop_gradient(e_r)) ** 2)
-    contam = 1.0 - den / n_            # norm fraction of psi in the span
-    loss = (jnp.mean(e_r) + head_weight * l_head
+    l_head = jnp.mean((e_head - jax.lax.stop_gradient(q_r)) ** 2)
+    loss = (jnp.mean(q_r) + head_weight * l_head
             + OVERLAP_PENALTY * jnp.mean(contam))
-    # perp_frac -> 0 means psi is collapsing onto span{phi_i} (the node
-    # factors structurally prevent it; monitor regardless)
-    return loss, {"e_mean": jnp.mean(e_r), "l_head": l_head, "e_r": e_r,
-                  "perp_frac": jnp.min(den / n_),
+    return loss, {"e_mean": jnp.mean(q_r), "l_head": l_head, "e_r": q_r,
+                  "perp_frac": jnp.min(1.0 - contam),
                   "contam": jnp.max(contam)}
 
 

@@ -214,6 +214,9 @@ def test_multi_reference_deflation_orthogonalised():
     l2r, aux2r = variational.quotient_loss_deflated(p2, cfg, vb, ps_r,
                                                     hs_r, 0.0)
     assert np.isfinite(float(l2)) and float(aux2["perp_frac"]) > 0
+    # the contamination term sees only the SPAN of the references, so the
+    # Gram-Schmidt ordering must not matter
+    np.testing.assert_allclose(float(l2r), float(l2), rtol=1e-9)
     np.testing.assert_allclose(float(aux2r["e_mean"]),
                                float(aux2["e_mean"]), rtol=1e-9)
 
