@@ -291,7 +291,8 @@ def spheroidal_vbatch(cfg: Config, n_r: int = 77, n_xi: int = 48,
 
 def _lbfgs_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
                     head_weight: float, log_cb=None,
-                    loss_fn=None, memory_size: int = 15) -> dict:
+                    loss_fn=None, memory_size: int = 15,
+                    val_fn=None) -> dict:
     """Shared L-BFGS driver on ``loss_fn`` (default quotient_loss) over a
     fixed batch.
 
@@ -299,7 +300,16 @@ def _lbfgs_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
     (observed in f32: a final linesearch overshoot erased 4000 steps of
     descent), and on a deterministic objective the lowest value IS the best
     model — the train.py best-snapshot policy (reference train.py:58-60)
-    applied to the polish."""
+    applied to the polish.
+
+    ``val_fn`` (params -> scalar): when given, the best iterate is selected
+    by this INDEPENDENT-grid value instead of the training objective.
+    Rationale (field-tested on the 3p sigma_u node-factor run): a stiff
+    excited family found spike modes underpriced by BOTH training grids —
+    the train objective jumped 15 mHa below the exact spectrum and kept the
+    gamed iterate as "best". Gaming a quadrature does not transfer to an
+    unseen third grid, so validation-tracked selection keeps only honest
+    progress (the standard early-stopping argument, applied per iterate)."""
     loss_fn = quotient_loss if loss_fn is None else loss_fn
 
     def f(p):
@@ -323,12 +333,37 @@ def _lbfgs_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
                                     value_fn=f)
         return optax.apply_updates(p, updates), state, value, best_p, best_v
 
+    if val_fn is not None:
+        val_fn = jax.jit(val_fn)
+
     best_p, best_v = params, jnp.asarray(jnp.inf, jnp.dtype(cfg.dtype))
     for i in range(steps):
-        params, state, value, best_p, best_v = step(params, state,
-                                                    best_p, best_v)
-        if log_cb is not None and i % 25 == 0:
-            log_cb(i, {"E_obj": float(value), "E_best": float(best_v)})
+        if val_fn is not None:
+            # selection on the validation value of the CURRENT iterate
+            # (before the update), so the returned params are exactly the
+            # iterate that scored best_v
+            v = float(val_fn(params))
+            if v < float(best_v):
+                best_p = jax.tree.map(np.asarray, params)
+                best_v = jnp.asarray(v, best_v.dtype)
+            params, state, value, _, _ = step(params, state, params,
+                                              jnp.asarray(-jnp.inf,
+                                                          best_v.dtype))
+            if log_cb is not None and i % 25 == 0:
+                log_cb(i, {"E_obj": float(value), "E_val": v,
+                           "E_best": float(best_v)})
+        else:
+            params, state, value, best_p, best_v = step(params, state,
+                                                        best_p, best_v)
+            if log_cb is not None and i % 25 == 0:
+                log_cb(i, {"E_obj": float(value), "E_best": float(best_v)})
+    # the loop scores iterates 0..steps-1; score the final iterate too (a
+    # monotone descent's best point is the one the loop never saw)
+    if steps:
+        v = float(val_fn(params) if val_fn is not None
+                  else jax.jit(f)(params))
+        if v < float(best_v):
+            best_p = jax.tree.map(np.asarray, params)
     return jax.tree.map(np.asarray, best_p)
 
 
@@ -419,7 +454,8 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                       warmup_save: Optional[str] = None,
                       mesh=None, log_cb=None,
                       deflate_params: Optional[dict] = None,
-                      memory_size: int = 15) -> dict:
+                      memory_size: int = 15,
+                      val_grid: bool = True) -> dict:
     """L-BFGS on the EXACT (quadrature) variational objective.
 
     Replaces the MC estimator entirely: each step sees the true Rayleigh
@@ -438,6 +474,12 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
     sector) — switches the objective to quotient_loss_deflated, targeting
     the SECOND state of the sector (2s sigma_g / 3p sigma_u with a xi_node
     ansatz).
+
+    ``val_grid``: best-iterate selection on a THIRD, unseen grid (sizes
+    coprime to both training grids) instead of the training objective —
+    see _lbfgs_minimize. On by default: it costs one forward pass per
+    L-BFGS step and removes the last quadrature-gaming channel (an iterate
+    that games both training grids still cannot be SELECTED).
     """
     dtype = jnp.dtype(cfg.dtype)
     if params is None:
@@ -515,6 +557,42 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
 
             def loss_fn(p, cfg_, vb_, hw, _p0=p0_sh, _h0=h0_sh):
                 return quotient_loss_deflated(p, cfg_, vb_, _p0, _h0, hw)
+    val_fn = None
+    if val_grid and steps:
+        # third, unseen grid for best-iterate selection: sizes coprime to
+        # BOTH training grids, so a spike mode priced wrongly by the train
+        # node sets cannot hide from selection too
+        import math
+
+        def _third(n: int, other: int, offset: int) -> int:
+            m = n + offset
+            while math.gcd(m, n) != 1 or math.gcd(m, other) != 1:
+                m += 1
+            return m
+
+        oxi = _coprime_size(n_xi, 17) if dual_grid else n_xi
+        oeta = _coprime_size(n_eta, 13) if dual_grid else n_eta
+        vbv = spheroidal_vbatch(cfg, n_r=n_r, n_xi=_third(n_xi, oxi, 29),
+                                n_eta=_third(n_eta, oeta, 23),
+                                xi_span=xi_span, dtype=dtype)
+        p0v = h0v = None
+        if deflate_params is not None:
+            p0v, h0v = reference_states_on_batch(frozen, cfg, vbv)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Ps
+            vbv = VBatch(*(jax.device_put(a, NamedSharding(mesh, Ps("data")))
+                           for a in vbv))
+            if p0v is not None:
+                rsh = NamedSharding(mesh, Ps(None, "data"))
+                p0v = jax.device_put(p0v, rsh)
+                h0v = jax.device_put(h0v, rsh)
+        if deflate_params is not None:
+            def val_fn(p, _vb=vbv, _p0=p0v, _h0=h0v):
+                return quotient_loss_deflated(p, cfg, _vb, _p0, _h0,
+                                              head_weight)[0]
+        else:
+            def val_fn(p, _vb=vbv):
+                return quotient_loss(p, cfg, _vb, head_weight)[0]
     if adam_steps:
         params = _adam_minimize(params, cfg, vb, adam_steps, head_weight,
                                 log_cb=log_cb, loss_fn=loss_fn)
@@ -527,7 +605,8 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                             {"params": jax.tree.map(np.asarray, params)},
                             meta={"polish": "spheroidal-adam-warmup"})
     return _lbfgs_minimize(params, cfg, vb, steps, head_weight, log_cb,
-                           loss_fn=loss_fn, memory_size=memory_size)
+                           loss_fn=loss_fn, memory_size=memory_size,
+                           val_fn=val_fn)
 
 
 class VState(NamedTuple):

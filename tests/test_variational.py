@@ -164,6 +164,54 @@ def test_spheroidal_polish_descends_and_respects_variational_bound():
     assert (e_r >= exact - 1e-9).all(), (e_r, exact)
 
 
+def test_lbfgs_best_iterate_selected_by_validation_value():
+    """Quadrature-gaming guard (field-tested on the 3p sigma_u run: the
+    train objective jumped 15 mHa below the exact spectrum while the true
+    energy degraded): when a val_fn is given, _lbfgs_minimize must return
+    the iterate with the best VALIDATION value, not the best train value.
+
+    Toy with the same geometry: the train loss keeps improving along the
+    trajectory (w -> 0) while the validation loss is best mid-trajectory
+    (w = 1). Selection must pick the mid-trajectory iterate."""
+    cfg = pqs.smoke_config(dtype="float64")
+    params = {"w": jnp.asarray([2.0], jnp.float64)}
+
+    def train_loss(p, _cfg, _vb, _hw):
+        return jnp.sum(p["w"] ** 2), {}
+
+    def val_fn(p):
+        return jnp.sum((p["w"] - 1.0) ** 2)
+
+    out = variational._lbfgs_minimize(params, cfg, None, steps=30,
+                                      head_weight=0.0, loss_fn=train_loss,
+                                      val_fn=val_fn)
+    w = float(np.asarray(out["w"])[0])
+    # the final train iterate sits at ~0; the selected one must be the
+    # closest-to-1 iterate the trajectory produced
+    assert abs(w - 1.0) < 0.5, w
+    # without val_fn the same driver returns the train-best (~0) iterate
+    out2 = variational._lbfgs_minimize(params, cfg, None, steps=30,
+                                       head_weight=0.0, loss_fn=train_loss)
+    assert abs(float(np.asarray(out2["w"])[0])) < 0.1
+
+
+def test_spheroidal_polish_val_grid_matches_train_best_when_honest():
+    """On an honest (non-gaming) run the validation-tracked polish must land
+    at the same optimum as train-value tracking (the guard is free when
+    nothing is gamed)."""
+    cfg = pqs.smoke_config(dtype="float64")
+    params = ansatz.init_params(jax.random.PRNGKey(1), cfg.model,
+                                jnp.float64)
+    kw = dict(n_r=2, n_xi=12, n_eta=10, steps=8)
+    a = variational.polish_spheroidal(params, cfg, val_grid=True, **kw)
+    b = variational.polish_spheroidal(params, cfg, val_grid=False, **kw)
+    vb = variational.spheroidal_vbatch(cfg, n_r=2, n_xi=31, n_eta=29)
+    la, _ = variational.quotient_loss(a, cfg, vb)
+    lb, _ = variational.quotient_loss(b, cfg, vb)
+    # same descent basin: the two selections agree to optimisation noise
+    assert abs(float(la) - float(lb)) < 1e-4, (float(la), float(lb))
+
+
 def test_antithetic_importance_weights_unbiased():
     """Radial-antithetic importance weights still integrate a known function
     (the weights/density contract is unchanged)."""
