@@ -371,6 +371,7 @@ def cmd_variational(args) -> None:
                 params, cfg, n_r=args.n_r, n_xi=args.n_xi, n_eta=args.n_eta,
                 steps=args.lbfgs, adam_steps=args.adam_warmup,
                 warmup_save=os.path.join(args.out, "warmup.npz"),
+                best_save=os.path.join(args.out, "best_sofar.npz"),
                 mesh=mesh, log_cb=_log, deflate_params=deflate_params,
                 memory_size=args.lbfgs_memory)
         else:

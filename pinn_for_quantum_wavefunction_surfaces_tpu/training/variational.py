@@ -292,7 +292,8 @@ def spheroidal_vbatch(cfg: Config, n_r: int = 77, n_xi: int = 48,
 def _lbfgs_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
                     head_weight: float, log_cb=None,
                     loss_fn=None, memory_size: int = 15,
-                    val_fn=None) -> dict:
+                    val_fn=None, restart_margin: float = 1e-3,
+                    best_save: Optional[str] = None) -> dict:
     """Shared L-BFGS driver on ``loss_fn`` (default quotient_loss) over a
     fixed batch.
 
@@ -309,7 +310,18 @@ def _lbfgs_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
     the train objective jumped 15 mHa below the exact spectrum and kept the
     gamed iterate as "best". Gaming a quadrature does not transfer to an
     unseen third grid, so validation-tracked selection keeps only honest
-    progress (the standard early-stopping argument, applied per iterate)."""
+    progress (the standard early-stopping argument, applied per iterate).
+
+    ``restart_margin`` (with val_fn): when the validation value drifts this
+    far (Ha) ABOVE the running best, the optimiser has left the honest
+    basin (observed: a gamed linesearch jump sent val +27 mHa in 25 steps
+    and L-BFGS then oscillated uselessly for hundreds of steps — its
+    curvature memory was poisoned). Restart from the best iterate with a
+    FRESH L-BFGS state: selection alone only caps the damage, the restart
+    converts the remaining budget back into honest descent.
+
+    ``best_save``: checkpoint the running best to this path every 100 steps
+    (polish runs are hours on this host — a crash should not lose them)."""
     loss_fn = quotient_loss if loss_fn is None else loss_fn
 
     def f(p):
@@ -336,7 +348,14 @@ def _lbfgs_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
     if val_fn is not None:
         val_fn = jax.jit(val_fn)
 
+    def _save_best(best_p):
+        if best_save is not None:
+            from ..io import checkpoint
+            checkpoint.save(best_save, {"params": best_p},
+                            meta={"polish": "best-so-far"})
+
     best_p, best_v = params, jnp.asarray(jnp.inf, jnp.dtype(cfg.dtype))
+    n_restarts = 0
     for i in range(steps):
         if val_fn is not None:
             # selection on the validation value of the CURRENT iterate
@@ -346,17 +365,28 @@ def _lbfgs_minimize(params: dict, cfg: Config, vb: VBatch, steps: int,
             if v < float(best_v):
                 best_p = jax.tree.map(np.asarray, params)
                 best_v = jnp.asarray(v, best_v.dtype)
+            elif (np.isfinite(float(best_v))
+                  and v > float(best_v) + restart_margin):
+                # gamed basin: drop the poisoned curvature memory and
+                # resume honest descent from the best-known iterate
+                params = jax.tree.map(jnp.asarray, best_p)
+                state = opt.init(params)
+                n_restarts += 1
+                v = float(best_v)
             params, state, value, _, _ = step(params, state, params,
                                               jnp.asarray(-jnp.inf,
                                                           best_v.dtype))
             if log_cb is not None and i % 25 == 0:
                 log_cb(i, {"E_obj": float(value), "E_val": v,
-                           "E_best": float(best_v)})
+                           "E_best": float(best_v),
+                           "restarts": n_restarts})
         else:
             params, state, value, best_p, best_v = step(params, state,
                                                         best_p, best_v)
             if log_cb is not None and i % 25 == 0:
                 log_cb(i, {"E_obj": float(value), "E_best": float(best_v)})
+        if best_save is not None and i % 100 == 99:
+            _save_best(jax.tree.map(np.asarray, best_p))
     # the loop scores iterates 0..steps-1; score the final iterate too (a
     # monotone descent's best point is the one the loop never saw)
     if steps:
@@ -455,7 +485,8 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                       mesh=None, log_cb=None,
                       deflate_params: Optional[dict] = None,
                       memory_size: int = 15,
-                      val_grid: bool = True) -> dict:
+                      val_grid: bool = True,
+                      best_save: Optional[str] = None) -> dict:
     """L-BFGS on the EXACT (quadrature) variational objective.
 
     Replaces the MC estimator entirely: each step sees the true Rayleigh
@@ -606,7 +637,7 @@ def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                             meta={"polish": "spheroidal-adam-warmup"})
     return _lbfgs_minimize(params, cfg, vb, steps, head_weight, log_cb,
                            loss_fn=loss_fn, memory_size=memory_size,
-                           val_fn=val_fn)
+                           val_fn=val_fn, best_save=best_save)
 
 
 class VState(NamedTuple):
