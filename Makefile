@@ -54,8 +54,8 @@ excited-3psu:
 	  variational --out runs/excited_3psu --arch separable --xi-node \
 	  --state ungerade --spheroidal \
 	  --deflate artifacts/ungerade_separable.npz \
-	  --adam-warmup 1500 --lbfgs 800 --lbfgs-memory 50 \
-	  --n-r 39 --n-xi 40 --n-eta 24 --dtype float64
+	  --adam-warmup 1500 --lbfgs 1500 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 48 --n-eta 32 --dtype float64
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
 	  evaluate runs/excited_3psu/variational.npz --state ungerade \
 	  --dtype float64 --target-state 3psu
