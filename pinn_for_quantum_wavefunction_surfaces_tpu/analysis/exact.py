@@ -7,29 +7,38 @@ models already saturate. This module solves the SEPARATED problem exactly:
 in prolate spheroidal coordinates xi = (r1+r2)/D, eta = (r1-r2)/D (D = 2R the
 full internuclear distance; this repo's R is the HALF distance), the
 electronic Schroedinger equation (-1/2 lap - 1/r1 - 1/r2) psi = E psi
-separates for psi = Lambda(xi) S(eta) (m = 0 sigma states) into
+separates for psi = Lambda(xi) S(eta) e^{i m phi} (m = 0 sigma, |m| = 1 pi,
+|m| = 2 delta states) into
 
-    angular:  [(1-eta^2) S']' + (A + c^2 eta^2) S        = 0
-    radial:   [(xi^2-1) L']'  + (-A + 2 D xi - c^2 xi^2) L = 0
+    angular:  [(1-eta^2) S']' + (A + c^2 eta^2 - m^2/(1-eta^2)) S        = 0
+    radial:   [(xi^2-1) L']'  + (-A + 2 D xi - c^2 xi^2 - m^2/(xi^2-1)) L = 0
 
 with c^2 = -E D^2 / 2 and separation constant A.
 
-- The angular equation is solved by Legendre expansion S = sum_l c_l P_l(eta)
-  (parity decouples even/odd l, selecting 1s sigma_g / 2p sigma_u): the
-  three-term relation in l is a banded matrix whose LARGEST eigenvalue (the
-  branch continuing from l = 0 resp. 1 at c = 0) gives A(c^2).
+- The angular equation is solved by associated-Legendre expansion
+  S = sum_l c_l P_l^m(eta), l >= m (parity of l - m decouples even/odd,
+  selecting e.g. 1s sigma_g / 2p sigma_u for m = 0, 2p pi_u / 3d pi_g for
+  m = 1): with eta P_l^m = a_l P_{l+1}^m + b_l P_{l-1}^m,
+  a_l = (l-m+1)/(2l+1), b_l = (l+m)/(2l+1), the c^2 eta^2 coupling is a
+  banded matrix whose LARGEST eigenvalue (the branch continuing from l = m
+  resp. m+1 at c = 0) gives A(c^2).
 - The radial equation uses the Jaffe expansion
-  L = (xi+1)^sigma e^{-c xi} sum_n g_n t^n,  t = (xi-1)/(xi+1),
-  sigma = D/c - 1, whose coefficients obey the three-term recurrence
-  (derived symbolically, verified against the Wind table and literature
-  values to 1e-10)
+  L = (xi^2-1)^{m/2} (xi+1)^sigma e^{-c xi} sum_n g_n t^n,
+  t = (xi-1)/(xi+1),  sigma = D/c - m - 1, whose coefficients obey the
+  three-term recurrence (derived symbolically in this repo by series
+  substitution — the sigma choice above is exactly what cancels the
+  residual lower-row coupling — and verified against the Wind table,
+  literature values and independent Rayleigh-Ritz bounds to 1e-10)
 
-      (n+1)^2 g_{n+1} - [2 n^2 + (4c + 2 - 2D/c) n
-                         + A - 2D - D/c + c^2 + 2c + 1] g_n
-                      + (n - D/c)^2 g_{n-1} = 0.
+      alpha_n g_{n+1} + beta_n g_n + gamma_n g_{n-1} = 0,
+      alpha_n = (n+1)(n+m+1),
+      beta_n  = -A + 2D - c^2 - 2cm - 2c(2n+1) + m^2 + m
+                + (m+2n+1) sigma - 2n^2,
+      gamma_n = (n+m - D/c)(n - D/c)
 
-  L is normalisable iff {g_n} is the MINIMAL solution, i.e. the backward
-  continued fraction for r_0 = g_1/g_0 satisfies  b_0 + r_0 = 0.
+  (m = 0 reduces exactly to Jaffe's classical sigma recurrence). L is
+  normalisable iff {g_n} is the MINIMAL solution, i.e. the backward
+  continued fraction for r_0 = g_1/g_0 satisfies  beta_0 + alpha_0 r_0 = 0.
 
 E is the root of that scalar condition; everything is plain float64 numpy
 (no jax), converging to ~1e-11 Ha — three orders below the 0.1 mHa target.
@@ -41,95 +50,114 @@ import functools
 
 import numpy as np
 
-# m = 0 sigma states as (parity, angular branch, radial root index):
-#   parity +1/-1 selects even/odd Legendre sectors (gerade/ungerade);
-#   branch k is the angular eigenvalue continuing from l = 2k + (parity<0)
-#     at c = 0 (k eta-node pairs beyond the parity minimum);
+# States as (m, parity, angular branch, radial root index):
+#   m is |m|, the axial angular momentum (0 sigma, 1 pi, 2 delta);
+#   parity +1/-1 selects even/odd l - m sectors (for m = 0 that is
+#     gerade/ungerade; for m > 0 the TOTAL inversion parity of the state is
+#     parity * (-1)^m — e.g. 2p pi_u has even l - m);
+#   branch k is the angular eigenvalue continuing from l = m + 2k +
+#     (parity<0) at c = 0 (k eta-node pairs beyond the sector minimum);
 #   root j is the j-th zero of the Jaffe radial condition scanning E upward
 #     (j radial nodes in xi).
 # United-atom labels: 1ssg (ground), 2psu (first ungerade), 2ssg (second
 # gerade, one xi node), 3dsg (gerade, two eta nodes), 3psu (ungerade, one
-# xi node).
+# xi node); 2ppu / 3dpg are the pi-sector minima (He+ 2p / 3d at D -> 0),
+# 3ddg the delta-sector minimum.
 STATE_INDEX = {
-    "1ssg": (1, 0, 0),
-    "2psu": (-1, 0, 0),
-    "2ssg": (1, 0, 1),
-    "3dsg": (1, 1, 0),
-    "3psu": (-1, 0, 1),
+    "1ssg": (0, 1, 0, 0),
+    "2psu": (0, -1, 0, 0),
+    "2ssg": (0, 1, 0, 1),
+    "3dsg": (0, 1, 1, 0),
+    "3psu": (0, -1, 0, 1),
+    "2ppu": (1, 1, 0, 0),
+    "3dpg": (1, -1, 0, 0),
+    "3ddg": (2, 1, 0, 0),
 }
 STATES = tuple(STATE_INDEX)
 
+# Lower edge of the full eigenvalue scan per sector minimum (the united-atom
+# He+ level -Z^2/2n^2 with margin; the m = 0 sectors keep their historical
+# wider windows — 2psu famously dips BELOW its united-atom level, to
+# -0.6675 at D = 2, so windows are per-state data, not derivable from n).
+_SCAN_LO = {"2ppu": -0.7, "3dpg": -0.6, "3ddg": -0.6}
+
 
 def angular_eigenvalue(c2: float, parity: int, n_basis: int = 60,
-                       branch: int = 0) -> float:
-    """Separation constant A(c^2) for the sigma state of given parity
-    (+1: even l branch from l=0; -1: odd l branch from l=1). ``branch`` = k
-    picks the eigenvalue continuing from l = 2k (+1 for odd parity) at
-    c = 0 — the k-th largest of the banded matrix.
+                       branch: int = 0, m: int = 0) -> float:
+    """Separation constant A(c^2) for the state of given parity
+    (+1: even l-m branch from l=m; -1: odd branch from l=m+1). ``branch``
+    = k picks the eigenvalue continuing from l = m + 2k (+1 for odd
+    parity) at c = 0 — the k-th largest of the banded matrix.
 
-    Legendre expansion: coefficient of P_k gives
-        [A - k(k+1)] c_k + c^2 (a_{k-2} c_{k-2} + b_k c_k + g_{k+2} c_{k+2}) = 0
-    with eta^2 P_l = a_l P_{l+2} + b_l P_l + g_l P_{l-2},
-        a_l = (l+1)(l+2)/((2l+1)(2l+3)),
-        b_l = (l+1)^2/((2l+1)(2l+3)) + l^2/((2l+1)(2l-1)),
-        g_l = l(l-1)/((2l+1)(2l-1)).
-    A = -(largest eigenvalue) of the resulting banded matrix.
+    Associated-Legendre expansion: with
+        eta P_l^m = a_l P_{l+1}^m + b_l P_{l-1}^m,
+        a_l = (l-m+1)/(2l+1),  b_l = (l+m)/(2l+1),
+    the row of P_l^m reads
+        [A - l(l+1)] c_l + c^2 ( a_{l-2} a_{l-1} c_{l-2}
+                                 + (a_l b_{l+1} + b_l a_{l-1}) c_l
+                                 + b_{l+2} b_{l+1} c_{l+2} ) = 0.
+    A = -(largest eigenvalue) of the resulting banded matrix. m = 0
+    reduces to the classical Legendre sigma matrix.
     """
-    ls = np.arange(0 if parity > 0 else 1, 2 * n_basis, 2, dtype=np.float64)
-    a = (ls + 1) * (ls + 2) / ((2 * ls + 1) * (2 * ls + 3))
-    b = ((ls + 1) ** 2 / ((2 * ls + 1) * (2 * ls + 3))
-         + ls ** 2 / ((2 * ls + 1) * (2 * ls - 1)))
-    g = ls * (ls - 1) / ((2 * ls + 1) * (2 * ls - 1))
-    m = np.diag(-ls * (ls + 1) + c2 * b)
-    # row k couples to c_{k-2} (weight a_{k-2}) and c_{k+2} (weight g_{k+2})
+    af = lambda l: (l - m + 1) / (2 * l + 1)
+    bf = lambda l: (l + m) / (2 * l + 1)
+    ls = np.arange(m if parity > 0 else m + 1, m + 2 * n_basis,
+                   2, dtype=np.float64)
+    diag = -ls * (ls + 1) + c2 * (af(ls) * bf(ls + 1) + bf(ls) * af(ls - 1))
+    mat = np.diag(diag)
     idx = np.arange(len(ls) - 1)
-    m[idx + 1, idx] = c2 * a[:-1]
-    m[idx, idx + 1] = c2 * g[1:]
-    # symmetrise by diagonal similarity (off-diagonal products are positive)
-    ev = np.sort(np.linalg.eigvals(m).real)[::-1]
+    # row l+2 couples to c_l (weight a_l a_{l+1}); row l to c_{l+2}
+    # (weight b_{l+2} b_{l+1})
+    mat[idx + 1, idx] = c2 * af(ls[:-1]) * af(ls[:-1] + 1)
+    mat[idx, idx + 1] = c2 * bf(ls[:-1] + 2) * bf(ls[:-1] + 1)
+    ev = np.sort(np.linalg.eigvals(mat).real)[::-1]
     return -float(ev[branch])
 
 
-def _radial_condition(e: float, d: float, a_sep: float,
+def _radial_condition(e: float, d: float, a_sep: float, m: int = 0,
                       n_terms: int | None = None) -> float:
-    """Jaffe minimal-solution condition f(E) = b_0 + r_0; a root in E (with
-    A = A(c^2(E)) already consistent) is an exact eigenvalue."""
+    """Jaffe minimal-solution condition f(E) = beta_0 + alpha_0 r_0; a root
+    in E (with A = A(c^2(E)) already consistent) is an exact eigenvalue."""
     c = d * np.sqrt(-e / 2.0)
     doc = d / c
+    sig = doc - m - 1.0
     if n_terms is None:
         # series tail ~ exp(-4 sqrt(c n)): n >> (37/4)^2 / c for 1e-16
         n_terms = int(max(400, 120 / c))
 
     def beta(n):
-        return -(2.0 * n * n + (4.0 * c + 2.0 - 2.0 * doc) * n
-                 + a_sep - 2.0 * d - doc + c * c + 2.0 * c + 1.0)
+        return (-a_sep + 2.0 * d - c * c - 2.0 * c * m
+                - 2.0 * c * (2.0 * n + 1.0) + m * m + m
+                + (m + 2.0 * n + 1.0) * sig - 2.0 * n * n)
 
     # backward recurrence for the minimal-solution ratio r_n = g_{n+1}/g_n:
-    #   (n+1)^2 r_n + beta_n + (n - D/c)^2 / r_{n-1} = 0
-    #   => r_{n-1} = -(n - D/c)^2 / (beta_n + (n+1)^2 r_n)
+    #   alpha_n r_n + beta_n + gamma_n / r_{n-1} = 0
+    #   => r_{n-1} = -gamma_n / (beta_n + alpha_n r_n)
     r = 1.0 - 2.0 * np.sqrt(c / n_terms)  # asymptotic minimal ratio
     for n in range(n_terms, 0, -1):
-        r = -((n - doc) ** 2) / (beta(n) + (n + 1) ** 2 * r)
-    return beta(0) + r  # n = 0 row: beta_0 g_0 + 1^2 g_1 = 0
+        r = -((n + m - doc) * (n - doc)) / (beta(n)
+                                            + (n + 1.0) * (n + m + 1.0) * r)
+    return beta(0) + (m + 1.0) * r  # n = 0 row: beta_0 g_0 + alpha_0 g_1 = 0
 
 
 def _eigencondition(e: float, d: float, parity: int,
-                    branch: int = 0) -> float:
+                    branch: int = 0, m: int = 0) -> float:
     c2 = -e * d * d / 2.0
     return _radial_condition(e, d, angular_eigenvalue(c2, parity,
-                                                      branch=branch))
+                                                      branch=branch, m=m),
+                             m=m)
 
 
 def _find_bracket(d: float, parity: int, lo: float, hi: float,
                   n_scan: int, branch: int = 0,
-                  n_root: int = 0) -> tuple[float, float] | None:
+                  n_root: int = 0, m: int = 0) -> tuple[float, float] | None:
     """Bracket of the ``n_root``-th genuine sign change of the eigenvalue
     condition on [lo, hi] (scanning upward: j-th root = j radial nodes)."""
     es = np.linspace(lo, hi, n_scan)
-    f_prev = _eigencondition(es[0], d, parity, branch)
+    f_prev = _eigencondition(es[0], d, parity, branch, m)
     seen = 0
     for i, e in enumerate(es[1:]):
-        f = _eigencondition(e, d, parity, branch)
+        f = _eigencondition(e, d, parity, branch, m)
         # Genuine eigenvalues cross UPWARD (f' > 0 at the root) with
         # moderate values on both sides; continued-fraction poles cross
         # downward with large magnitude (verified on the known 1ssg/2psu
@@ -149,24 +177,27 @@ def _find_bracket(d: float, parity: int, lo: float, hi: float,
 def _exact_cached(r_half: float, state: str, tol: float,
                   guess: float | None) -> float:
     d = 2.0 * float(r_half)
-    parity, branch, n_root = STATE_INDEX[state]
+    m, parity, branch, n_root = STATE_INDEX[state]
     bracket = None
     if guess is not None:
         # guess-guided fast path (e.g. the Wind interpolant, good to
         # +-5e-5): +-2 mHa around it must bracket the root — and contain
         # ONLY it, so the window searches for its first sign change
         bracket = _find_bracket(d, parity, guess - 2e-3, guess + 2e-3, 9,
-                                branch)
+                                branch, m=m)
     if bracket is None:
-        # full scan upward from below the united-atom limit (-2.2 covers
-        # He+ n=1; excited-state roots are counted from the same floor so
-        # the j-th sign change is the j-th radial state of the branch)
-        lo = -2.2 if parity > 0 else -1.0
-        bracket = _find_bracket(d, parity, lo, -1e-3, 400, branch, n_root)
+        # full scan upward from below the sector's floor (-2.2 covers He+
+        # n=1 for the m=0 gerade sector; excited-state roots are counted
+        # from the same floor so the j-th sign change is the j-th radial
+        # state of the branch; m > 0 sectors use their own united-atom
+        # windows from _SCAN_LO)
+        lo = _SCAN_LO.get(state, -2.2 if parity > 0 else -1.0)
+        bracket = _find_bracket(d, parity, lo, -1e-3, 400, branch, n_root,
+                                m)
     if bracket is None:  # pragma: no cover
         raise RuntimeError(f"no eigenvalue bracket found for D={d}, {state}")
     from scipy.optimize import brentq
-    return float(brentq(lambda x: _eigencondition(x, d, parity, branch),
+    return float(brentq(lambda x: _eigencondition(x, d, parity, branch, m),
                         bracket[0], bracket[1], xtol=tol, rtol=8.9e-16))
 
 

@@ -127,6 +127,76 @@ def test_excited_states_vs_independent_rayleigh_ritz():
             assert -1e-9 < gap < 5e-4, (st, gap)
 
 
+def test_pi_delta_united_atom_and_limits():
+    """m > 0 sectors (2p pi_u, 3d pi_g, 3d delta_g): united-atom limits are
+    He+ levels; the separated-atom limit carries the -1/D monopole of the
+    far proton acting on the H(n) electron (E_el ~ -1/(2n^2) - 1/D)."""
+    assert abs(exact.exact_electronic_energy(0.01, "2ppu") - (-0.5)) < 2e-4
+    assert abs(exact.exact_electronic_energy(0.01, "3dpg") - (-2 / 9)) < 2e-4
+    assert abs(exact.exact_electronic_energy(0.01, "3ddg") - (-2 / 9)) < 2e-4
+    # literature spot value (Bates & Reid 1968 tabulation lineage):
+    # 2p pi_u at D = 2 a0
+    assert abs(exact.exact_electronic_energy(1.0, "2ppu")
+               - (-0.42877182)) < 1e-7
+    for st in ("2ppu", "3dpg"):
+        e = exact.exact_electronic_energy(20.0, st)   # D = 40
+        assert abs(e - (-0.125 - 1.0 / 40.0)) < 2e-4, (st, e)
+    # within the n=2 dissociation manifold the g/u pi pair is nearly
+    # degenerate at large D (splitting beyond the monopole term)
+    gap = abs(exact.exact_electronic_energy(20.0, "2ppu")
+              - exact.exact_electronic_energy(20.0, "3dpg"))
+    assert gap < 1e-5
+
+
+def test_pi_delta_states_vs_independent_rayleigh_ritz():
+    """Cross-check the m > 0 roots against a generalized-eigenproblem
+    Rayleigh-Ritz bound from an INDEPENDENT method (harmonic-polynomial
+    transverse factor x spheroidal basis + autodiff Laplacian — no Jaffe
+    expansion, no continued fraction). Each Ritz eigenvalue must lie ABOVE
+    the oracle's root and within a few 1e-4 of it."""
+    import jax
+    import jax.numpy as jnp
+
+    r_half = 1.0
+    x, rho, w = aen.spheroidal_grid(r_half, 48, 48, 25.0)
+    x, rho = jnp.asarray(x), jnp.asarray(rho)
+
+    def basis(pt, j, k, parity, m):
+        xx, yy, zz = pt
+        r1 = jnp.sqrt((xx - r_half) ** 2 + yy ** 2 + zz ** 2)
+        r2 = jnp.sqrt((xx + r_half) ** 2 + yy ** 2 + zz ** 2)
+        xi = (r1 + r2) / (2 * r_half)
+        eta = (r1 - r2) / (2 * r_half)
+        f = xi ** j * jnp.exp(-0.8 * r_half * (xi - 1.0)) * eta ** (2 * k)
+        # Re[(y + i z)^m]: the harmonic transverse factor of an m-state
+        trans = yy if m == 1 else yy * yy - zz * zz
+        f = f * trans
+        return f * eta if parity < 0 else f
+
+    def column(j, k, parity, m):
+        f = lambda pt: basis(pt, j, k, parity, m)
+        lap = lambda pt: jnp.trace(jax.hessian(f)(pt))
+        pts = jnp.stack([x, rho, jnp.zeros_like(x)], -1)
+        psi = jax.vmap(f)(pts)
+        r1 = jnp.sqrt((x - r_half) ** 2 + rho ** 2)
+        r2 = jnp.sqrt((x + r_half) ** 2 + rho ** 2)
+        hpsi = -0.5 * jax.vmap(lap)(pts) + (-1 / r1 - 1 / r2) * psi
+        return np.asarray(psi), np.asarray(hpsi)
+
+    from scipy.linalg import eigh
+    # the phi integral of the transverse factor^2 is a common constant of
+    # H and S, so the phi=0 half-plane quadrature ratio is exact
+    for m, parity, st in ((1, 1, "2ppu"), (1, -1, "3dpg"), (2, 1, "3ddg")):
+        cols = [column(j, k, parity, m) for j in range(5) for k in range(3)]
+        p = np.stack([c[0] for c in cols])
+        hp = np.stack([c[1] for c in cols])
+        s_mat = (p * w) @ p.T
+        h_mat = (p * w) @ hp.T
+        ev = eigh(0.5 * (h_mat + h_mat.T), s_mat, eigvals_only=True)
+        gap = ev[0] - exact.exact_electronic_energy(r_half, st)
+        assert -1e-9 < gap < 5e-4, (st, gap)
+
+
 def test_guess_and_scan_paths_agree():
     e_guided = exact.exact_electronic_energy(1.3, "1ssg",
                                              guess=float(
