@@ -63,7 +63,7 @@ def gz_exponent(params: dict, r: np.ndarray, p_sym: int = 1,
 
 def psi(params: dict, x, y, z, r, arch: str = "symmetric",
         inversion_symmetry: int = 1, ry: float = 0.0,
-        rz: float = 0.0) -> np.ndarray:
+        rz: float = 0.0, m_abs: int = 0) -> np.ndarray:
     """Full ansatz forward, numpy only (reference plot.py:36-49 for the
     minimal architecture; the symmetric branch mirrors models/ansatz.psi,
     including the trainable-exponent / Guillemin-Zener heads and the
@@ -113,6 +113,13 @@ def psi(params: dict, x, y, z, r, arch: str = "symmetric",
                          + params["enode1"]["b"])
             h = (a @ params["enode2"]["w"] + params["enode2"]["b"])[..., 0]
             out = out * (eta2 - _sigmoid(h))
+        if m_abs:
+            # pi/delta sectors: harmonic transverse factor Re[(y+iz)^m]
+            # (models/ansatz._transverse_harmonic)
+            re, im = y, z
+            for _ in range(m_abs - 1):
+                re, im = re * y - im * z, re * z + im * y
+            out = out * re
         return out
 
     def envelopes(xs):

@@ -25,7 +25,11 @@ import numpy as np
 
 def _build_cfg(args) -> "object":
     import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
-    arch = getattr(args, "arch", "symmetric")
+    # subcommands without an --arch flag (evaluate, energy, ...) infer
+    # separable from --m-abs (the only arch supporting pi/delta sectors);
+    # the actual forward dispatch is params-keyed anyway
+    arch = getattr(args, "arch",
+                   "separable" if getattr(args, "m_abs", 0) else "symmetric")
     cfg = pqs.minimal_config() if arch == "minimal" else pqs.Config()
     model = dataclasses.replace(
         cfg.model, arch=arch,
@@ -73,6 +77,8 @@ def _build_cfg(args) -> "object":
         model = dataclasses.replace(model, xi_node=True)
     if getattr(args, "eta_node", False):
         model = dataclasses.replace(model, eta_node=True)
+    if getattr(args, "m_abs", 0):
+        model = dataclasses.replace(model, m_abs=args.m_abs)
     return dataclasses.replace(cfg, model=model, train=train, domain=domain,
                                dtype=args.dtype)
 
@@ -100,8 +106,16 @@ def _add_common(p, train=False):
                    choices=["float32", "float64", "bfloat16"])
     p.add_argument("--state", default="gerade",
                    choices=["gerade", "ungerade"],
-                   help="gerade=1s sigma_g ground state, "
-                        "ungerade=2p sigma_u excited state")
+                   help="ENVELOPE inversion parity: gerade=1s sigma_g "
+                        "ground state, ungerade=2p sigma_u excited state "
+                        "(for --m-abs > 0 the total state parity is "
+                        "envelope * (-1)^m: 2p pi_u = gerade envelope)")
+    p.add_argument("--m-abs", type=int, default=0, dest="m_abs",
+                   help="|m| of the target sector (0 sigma, 1 pi, 2 "
+                        "delta): the separable ansatz gains the harmonic "
+                        "transverse factor Re[(y+iz)^m] — e.g. "
+                        "'--m-abs 1' targets 2p pi_u, '--m-abs 1 --state "
+                        "ungerade' 3d pi_g, '--m-abs 2' 3d delta_g")
     if train:
         p.add_argument("--arch", default="symmetric",
                        choices=["symmetric", "minimal", "separable"])
@@ -385,15 +399,24 @@ def cmd_variational(args) -> None:
         else:
             polish = "spheroidal-adam"   # pure warmup run, no L-BFGS phase
         meta = {"polish": polish}
+        # known states per (|m|, envelope parity) sector, lowest first —
+        # k deflated references target the (k+1)-th state
+        sector = {(0, 1): ["1ssg", "2ssg", "3dsg"],
+                  (0, -1): ["2psu", "3psu"],
+                  (1, 1): ["2ppu"], (1, -1): ["3dpg"],
+                  (2, 1): ["3ddg"]}.get(
+            (cfg.model.m_abs, cfg.model.inversion_symmetry), [])
+        if cfg.model.m_abs:
+            meta["m_abs"] = cfg.model.m_abs
+            if not deflate_params and sector:
+                # pi/delta sector minima need no deflation; record the
+                # target so `cli evaluate` scores the right oracle state
+                meta["target_state"] = sector[0]
         if deflate_params is not None:
             meta["deflated"] = ",".join(os.path.basename(p)
                                         for p in args.deflate)
-            # k deflated references target the (k+1)-th state of the
-            # sector; record it so `cli evaluate` scores against the right
-            # oracle by default
-            sector = (["1ssg", "2ssg", "3dsg"]
-                      if cfg.model.inversion_symmetry > 0
-                      else ["2psu", "3psu"])
+            # record which state k deflated references target, so `cli
+            # evaluate` scores against the right oracle by default
             if len(deflate_params) < len(sector):
                 meta["target_state"] = sector[len(deflate_params)]
         checkpoint.save(os.path.join(args.out, "variational.npz"),
@@ -430,16 +453,27 @@ def cmd_evaluate(args) -> None:
     params = {k: {kk: np.asarray(vv, cfg.dtype) for kk, vv in v.items()}
               for k, v in params.items()}
     state = getattr(args, "target_state", None)
-    if state is None and args.checkpoint.endswith(".npz"):
-        # deflated checkpoints record which state they target (meta set by
-        # cmd_variational) — score against the right oracle by default
+    if args.checkpoint.endswith(".npz"):
+        # deflated / pi-sector checkpoints record which state they target
+        # (meta set by cmd_variational) — score against the right oracle
+        # and rebuild the right ansatz by default
         try:
             _, ck_meta = checkpoint.load_params(args.checkpoint)
-            state = (ck_meta or {}).get("target_state")
         except Exception:
-            pass
+            ck_meta = None
+        if state is None:
+            state = (ck_meta or {}).get("target_state")
+        if not cfg.model.m_abs and (ck_meta or {}).get("m_abs"):
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(
+                    cfg.model, arch="separable",
+                    m_abs=int(ck_meta["m_abs"])))
     if state is None:
-        state = "2psu" if cfg.model.inversion_symmetry < 0 else "1ssg"
+        if cfg.model.m_abs:
+            state = {(1, 1): "2ppu", (1, -1): "3dpg", (2, 1): "3ddg"}[
+                (cfg.model.m_abs, cfg.model.inversion_symmetry)]
+        else:
+            state = "2psu" if cfg.model.inversion_symmetry < 0 else "1ssg"
     new_params, info = distill.distill(params, cfg, n=args.n_test,
                                        steps=args.steps)
     out_dir = args.out or os.path.dirname(os.path.abspath(args.checkpoint))

@@ -74,12 +74,30 @@ class ModelConfig:
     # nodes at +-eta0 (P2's are at eta^2 = 1/3, the init). Even in eta, so
     # inversion parity is untouched. Separable arch only.
     eta_node: bool = False
+    # |m|, the axial angular momentum of the target sector (0 sigma, 1 pi,
+    # 2 delta...). For m > 0 the ansatz gains the HARMONIC transverse
+    # factor Re[(y + i z)^m] (= y for pi, y^2 - z^2 for delta with the
+    # molecular axis along x): it carries the exact e^{i m phi} azimuthal
+    # structure AND the [(xi^2-1)(1-eta^2)]^{m/2} boundary behaviour of
+    # the separated two-centre solutions, is polynomial (laplacian ZERO —
+    # one cheap product rule in the fused pass), and its cos^2(m phi)
+    # factor cancels exactly in every Rayleigh-quotient RATIO on the
+    # phi = 0 half-plane quadrature. The total inversion parity of the
+    # state is inversion_symmetry * (-1)^m (the factor is inversion-odd
+    # for odd m): 2p pi_u = gerade envelope * y; 3d pi_g = ungerade
+    # envelope * y. Separable arch only.
+    m_abs: int = 0
 
     def __post_init__(self):
         if self.arch not in ("symmetric", "minimal", "separable"):
             raise ValueError(f"unknown arch {self.arch!r}")
         if self.inversion_symmetry not in (-1, 1):
             raise ValueError("inversion_symmetry must be +1 or -1")
+        if self.m_abs < 0:
+            raise ValueError("m_abs must be >= 0")
+        if self.m_abs and self.arch != "separable":
+            raise ValueError("m_abs > 0 (pi/delta sectors) requires the "
+                             "separable arch")
 
 
 @dataclasses.dataclass(frozen=True)

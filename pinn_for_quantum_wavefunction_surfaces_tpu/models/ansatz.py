@@ -326,6 +326,30 @@ def _mlp_tanh(x, l1, l2, l3):
 LOG_CORR_CAP = 3.0
 
 
+def _transverse_harmonic(mcfg: ModelConfig, y, z):
+    """Re[(y + i z)^m] — the harmonic transverse factor of an |m| = m_abs
+    state (molecular axis along x): y for pi, y^2 - z^2 for delta. Carries
+    the exact e^{i m phi} azimuthal structure and the
+    [(xi^2-1)(1-eta^2)]^{m/2} boundary behaviour of the separated
+    two-centre solutions; inversion-odd iff m is odd (total state parity =
+    inversion_symmetry * (-1)^m). Returns (value, d/dy, d/dz); the
+    laplacian is identically zero (harmonic polynomial)."""
+    re, im = y, z
+    for _ in range(mcfg.m_abs - 1):
+        re, im = re * y - im * z, re * z + im * y
+    # d/dw w^m = m w^{m-1}: grad(Re w^m) = m (Re w^{m-1}, -Im w^{m-1})
+    if mcfg.m_abs == 1:
+        gy = jnp.ones_like(y)
+        gz = jnp.zeros_like(z)
+    else:
+        rp, ip = y, z
+        for _ in range(mcfg.m_abs - 2):
+            rp, ip = rp * y - ip * z, rp * z + ip * y
+        gy = mcfg.m_abs * rp
+        gz = -mcfg.m_abs * ip
+    return re, gy, gz
+
+
 def _psi_separable(params: dict, mcfg: ModelConfig, x, y, z, r):
     """Value-only forward of the separable-spheroidal family (see
     _init_separable)."""
@@ -356,6 +380,10 @@ def _psi_separable(params: dict, mcfg: ModelConfig, x, y, z, r):
         # angular nodes at eta = +-eta0(R); eta^2 is even under inversion
         # so the factor leaves the parity with Phi_GZ
         out = out * (eta2 - node_eta0sq(params, r))
+    if mcfg.m_abs:
+        # pi/delta sectors: harmonic transverse factor Re[(y+iz)^m]
+        h, _, _ = _transverse_harmonic(mcfg, y, z)
+        out = out * h
     return out, energy(params, r)
 
 
@@ -471,6 +499,16 @@ def _psi_separable_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
         q = fwdlap.add(eta2,
                        fwdlap.const(-node_eta0sq(params, r)[..., None]))
         out = fwdlap.mul(out, q)
+    if mcfg.m_abs:
+        # harmonic transverse factor: grad is closed-form, laplacian is
+        # EXACTLY zero, so the product rule costs one mul + one dot
+        h, gy, gz = _transverse_harmonic(mcfg, y, z)
+        zero = jnp.zeros_like(h)
+        hs = fwdlap.Spatial(
+            h[..., None],
+            jnp.stack([zero, gy, gz], axis=-1)[..., None],
+            zero[..., None])
+        out = fwdlap.mul(out, hs)
     return out, energy(params, r)
 
 

@@ -48,7 +48,7 @@ def loss_fn(params: dict, cfg: Config, batch: Batch,
     point's E under shard_map; the caller selects the global one.
     """
     ar = (lambda v: v) if allreduce is None else allreduce
-    if cfg.train.kernel == "pallas":
+    if cfg.train.kernel == "pallas" and not cfg.model.m_abs:
         # fused Pallas train kernel (custom VJP); interpret mode on CPU so
         # the same config runs in tests and on the virtual mesh. The kernel
         # is selected by the PARAMS (families have distinct subtrees), like

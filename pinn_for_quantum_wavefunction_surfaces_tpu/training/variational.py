@@ -84,7 +84,10 @@ def quotient_loss(params: dict, cfg: Config, vb: VBatch,
     """(loss, aux): mean Rayleigh quotient over the R draw + head MSE."""
     n_r, n_pts = vb.x.shape
     rr = jnp.broadcast_to(vb.r[:, None], (n_r, n_pts)).reshape(-1)
-    if cfg.train.kernel == "pallas" and "lam1" in params:
+    if cfg.train.kernel == "pallas" and "lam1" in params \
+            and not cfg.model.m_abs:
+        # (the fused separable kernel predates the pi/delta transverse
+        # factor; m > 0 falls through to the XLA fwdlap path)
         # fused separable training kernel on the quotient hot path too, so
         # the flagship (variational) recipe can run through it
         from ..ops.pallas_separable import psi_lap_train_separable
