@@ -4,7 +4,8 @@
 CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
 .PHONY: test bench train evaluate dryrun pallas-ab dispersion ref-recipe \
-	excited-2ssg excited-3psu excited-3dsg
+	excited-2ssg excited-3psu excited-3dsg excited-2ppu excited-3dpg \
+	excited-3ddg
 
 test:
 	$(CPU_ENV) python -m pytest tests/ -q
@@ -70,6 +71,35 @@ excited-3dsg:
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
 	  evaluate runs/excited_3dsg/variational.npz --dtype float64 \
 	  --target-state 3dsg
+
+# Pi/delta sector minima (harmonic transverse factor --m-abs; each is the
+# LOWEST state of its symmetry sector, so no deflation is needed and the
+# ground-family convergence rate applies; ~80 min each on this 1-core
+# host). Total state parity = envelope parity * (-1)^m: 2p pi_u uses the
+# gerade envelope, 3d pi_g the ungerade one.
+excited-2ppu:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/pi_2ppu --arch separable --m-abs 1 \
+	  --spheroidal --adam-warmup 1500 --lbfgs 800 \
+	  --n-r 39 --n-xi 40 --n-eta 24 --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/pi_2ppu/variational.npz --dtype float64
+
+excited-3dpg:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/pi_3dpg --arch separable --m-abs 1 \
+	  --state ungerade --spheroidal --adam-warmup 1500 --lbfgs 800 \
+	  --n-r 39 --n-xi 40 --n-eta 24 --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/pi_3dpg/variational.npz --dtype float64
+
+excited-3ddg:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/delta_3ddg --arch separable --m-abs 2 \
+	  --spheroidal --adam-warmup 1500 --lbfgs 800 \
+	  --n-r 39 --n-xi 40 --n-eta 24 --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/delta_3ddg/variational.npz --dtype float64
 
 # Per-R variational-floor study for both ansatz families (39 Rs each,
 # figure -> artifacts/figures/dispersion.pdf; ~1.5 h on this 1-core host)

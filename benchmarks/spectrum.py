@@ -30,7 +30,15 @@ SOURCES = {
     "3psu": ["artifacts/excited_3psu_energy.pkl",
              "runs/excited_3psu/eval/energy_eval.pkl"],
     "3dsg": ["artifacts/excited_3dsg_energy.pkl",
-             "runs/excited_3dsg/eval/energy_eval.pkl"],
+             "runs/excited_3dsg/eval/energy_eval.pkl",
+             "runs/excited_3dsg/energy_eval.pkl"],
+    # pi/delta sectors (harmonic transverse factor, ModelConfig.m_abs)
+    "2ppu": ["artifacts/pi_2ppu_energy.pkl",
+             "runs/pi_2ppu/energy_eval.pkl"],
+    "3dpg": ["artifacts/pi_3dpg_energy.pkl",
+             "runs/pi_3dpg/energy_eval.pkl"],
+    "3ddg": ["artifacts/delta_3ddg_energy.pkl",
+             "runs/delta_3ddg/energy_eval.pkl"],
 }
 
 
