@@ -101,6 +101,37 @@ def test_variational_deflate_cli_wiring(tmp_path, capsys):
                   "--lbfgs", "2", "--dtype", "float64"])
 
 
+def test_variational_pi_sector_cli_wiring(tmp_path, capsys):
+    """--m-abs wiring: tiny pi-sector polish; the checkpoint meta must
+    carry m_abs and the sector-minimum target state so `cli evaluate`
+    rebuilds the right ansatz and scores the right oracle by default."""
+    out = str(tmp_path / "pi")
+    last = _run(capsys, ["variational", "--out", out, "--arch", "separable",
+                         "--m-abs", "1", "--spheroidal", "--fixed-r", "1.0",
+                         "--adam-warmup", "3", "--lbfgs", "2",
+                         "--n-xi", "10", "--n-eta", "8",
+                         "--dtype", "float64"])
+    rec = json.loads(last)
+    assert rec["spheroidal"] is True
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    _, meta = checkpoint.load_params(os.path.join(out, "variational.npz"))
+    assert meta["m_abs"] == 1
+    assert meta["target_state"] == "2ppu"
+    # ungerade envelope * y -> 3d pi_g
+    out2 = str(tmp_path / "pig")
+    _run(capsys, ["variational", "--out", out2, "--arch", "separable",
+                  "--m-abs", "1", "--state", "ungerade", "--spheroidal",
+                  "--fixed-r", "1.0", "--adam-warmup", "2", "--lbfgs", "1",
+                  "--n-xi", "10", "--n-eta", "8", "--dtype", "float64"])
+    _, meta2 = checkpoint.load_params(os.path.join(out2, "variational.npz"))
+    assert meta2["target_state"] == "3dpg"
+    # --m-abs with a non-separable arch must be rejected by the config
+    with pytest.raises(ValueError):
+        cli.main(["variational", "--out", out, "--arch", "symmetric",
+                  "--m-abs", "1", "--spheroidal", "--lbfgs", "1",
+                  "--dtype", "float64"])
+
+
 def test_bad_checkpoint_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         cli.main(["energy", str(tmp_path / "missing.npz")])
