@@ -328,3 +328,42 @@ def test_excited_3psu_artifact_regression():
     frac = variational.contamination_curve(params, [p0], cfg, [1.0, 4.0],
                                            n_xi=48, n_eta=48)
     assert frac.max() < 1e-4, frac
+
+
+def test_excited_3dsg_artifact_regression():
+    """Golden regression on the shipped 3d sigma_g artifact (the THIRD
+    gerade state, k=2 deflation against 1ssg + 2ssg): E_int within 2.3 mHa
+    of the excited ODE oracle at probe Rs (R=0.2-dominated: 2.12 mHa
+    there, <=0.4 elsewhere), variationally positive, and frozen-span
+    contamination below 1e-4."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import \
+        variational
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "excited_3dsg.npz")
+    if not os.path.exists(path):
+        pytest.skip("3dsg artifact not present")
+    params, _ = checkpoint.load_params(path)
+    params = params.get("params", params)
+    params = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+              for k, v in params.items()}
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable", eta_node=True))
+    r_probe = np.array([0.2, 1.0, 2.0, 4.0])
+    exact = aen.exact_energy_ode(r_probe, state="3dsg")
+    caps = {0.2: 2.3}
+    for ri, ex in zip(r_probe, exact):
+        e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
+        err_mha = 1e3 * (e - ex)
+        assert -1e-3 <= err_mha <= caps.get(float(ri), 0.5), (ri, err_mha)
+    refs = []
+    for p in ("artifacts/flagship_separable.npz",
+              "artifacts/excited_2ssg.npz"):
+        q, _ = checkpoint.load_params(p)
+        refs.append(q.get("params", q))
+    frac = variational.contamination_curve(params, refs, cfg, [0.2, 4.0],
+                                           n_xi=48, n_eta=48)
+    assert frac.max() < 1e-4, frac
