@@ -578,6 +578,30 @@ def cmd_sweep(args) -> None:
                       "E_net": [round(float(e), 6) for e in out["E_net"]]}))
 
 
+def cmd_vibrations(args) -> None:
+    """Nuclear (vibrational/rotational) levels on the electronic surface
+    (analysis.vibration): from an evaluated artifact's spline E(R) table,
+    or from the exact ODE oracle as the ruler (--oracle STATE)."""
+    from .analysis import etab, vibration
+    if args.oracle:
+        table = vibration.oracle_table(args.oracle)
+        source = f"oracle:{args.oracle}"
+    else:
+        if not args.checkpoint:
+            raise SystemExit("give an evaluated .npz artifact (with an "
+                             "e_table subtree) or --oracle STATE")
+        table = etab.load_table(args.checkpoint)
+        if table is None:
+            raise SystemExit(f"{args.checkpoint} carries no e_table "
+                             "subtree — run `cli evaluate` first")
+        source = args.checkpoint
+    levels = vibration.levels_from_table(table, n_levels=args.n_levels,
+                                         j=args.j)
+    out = {"source": source, "J": args.j}
+    out.update(vibration.summarize(levels))
+    print(json.dumps(out))
+
+
 def cmd_export(args) -> None:
     from .io import checkpoint, modelbin, torch_pt
     if args.output.endswith(".csv"):
@@ -767,6 +791,19 @@ def main(argv=None) -> None:
     p.add_argument("input", help=".npz | .pt | .bin")
     p.add_argument("output", help=".npz | .bin | .pt")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("vibrations",
+                       help="nuclear vibrational/rotational levels on the "
+                            "tabulated E(R) surface (BO spectroscopy)")
+    p.add_argument("checkpoint", nargs="?",
+                   help="evaluated .npz artifact carrying an e_table")
+    p.add_argument("--oracle", metavar="STATE",
+                   help="use the exact ODE oracle's curve instead "
+                        "(e.g. 1ssg) — the exact-BO ruler")
+    p.add_argument("--n-levels", type=int, default=4, dest="n_levels")
+    p.add_argument("--j", type=int, default=0,
+                   help="rotational quantum number J")
+    p.set_defaults(fn=cmd_vibrations)
 
     p = sub.add_parser("bench", help="throughput microbenchmark")
     p.add_argument("--n", type=int)
