@@ -90,7 +90,8 @@ def test_variational_deflate_cli_wiring(tmp_path, capsys):
     from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
     params, meta = checkpoint.load_params(os.path.join(out,
                                                        "variational.npz"))
-    assert "node1" in params.get("params", params)
+    # the R-aware node head (models/ansatz.RNODE_CAP parameterisation)
+    assert "rnode1" in params.get("params", params)
     assert meta["deflated"] == "flagship_separable.npz"
     # k=1 gerade deflation targets the second gerade state
     assert meta["target_state"] == "2ssg"
