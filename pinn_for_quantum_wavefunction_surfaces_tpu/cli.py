@@ -487,10 +487,15 @@ def cmd_evaluate(args) -> None:
         from .analysis import etab
         table = etab.build_table(new_params, cfg, n_knots=args.table_knots)
         tree["e_table"] = table
+    eval_meta = {"fit_rms": info["fit_rms"],
+                 "table_knots": args.table_knots,
+                 "target_state": state}
+    if cfg.model.m_abs:
+        # keep the sector tag on the evaluated artifact too, so it is
+        # self-describing for re-evaluation / warm starts
+        eval_meta["m_abs"] = cfg.model.m_abs
     checkpoint.save(os.path.join(out_dir, "evaluated.npz"), tree,
-                    meta={"fit_rms": info["fit_rms"],
-                          "table_knots": args.table_knots,
-                          "target_state": state})
+                    meta=eval_meta)
     surf = aen.surface(new_params, cfg, n=args.n_test, lcao=False,
                        grid="spheroidal")
     aen.save_surface(os.path.join(out_dir, "energy_eval.pkl"), surf)

@@ -137,3 +137,30 @@ def test_pi_polish_converges_to_2ppu():
     e_exact = exact.exact_electronic_energy(1.0, "2ppu")
     gap = e - e_exact
     assert -1e-9 < gap < 1e-4, (e, e_exact)
+
+
+def test_pi_2ppu_artifact_regression():
+    """Golden regression on the shipped 2p pi_u artifact (the pi-sector
+    minimum — no deflation): E_int within 0.1 mHa of the exact ODE oracle
+    at probe Rs, every one variationally positive."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "pi_2ppu.npz")
+    if not os.path.exists(path):
+        pytest.skip("2ppu artifact not present")
+    params, meta = checkpoint.load_params(path)
+    assert meta["target_state"] == "2ppu" and meta["m_abs"] == 1
+    params = params.get("params", params)
+    params = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+              for k, v in params.items()}
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable", m_abs=1))
+    r_probe = np.array([0.2, 1.0, 2.0, 4.0])
+    exact = aen.exact_energy_ode(r_probe, state="2ppu")
+    for ri, ex in zip(r_probe, exact):
+        e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
+        err_mha = 1e3 * (e - ex)
+        assert -1e-3 <= err_mha <= 0.1, (ri, err_mha)
