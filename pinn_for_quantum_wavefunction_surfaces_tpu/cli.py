@@ -474,6 +474,18 @@ def cmd_evaluate(args) -> None:
                 (cfg.model.m_abs, cfg.model.inversion_symmetry)]
         else:
             state = "2psu" if cfg.model.inversion_symmetry < 0 else "1ssg"
+    # scoring a state IMPLIES its envelope parity — derive it rather than
+    # trust the --state flag (field-tested failure: evaluating an
+    # ungerade-envelope pi run without --state ungerade rebuilt a gerade
+    # ansatz around ungerade-trained params and scored a garbage mixed
+    # trial 120 mHa below the sector minimum)
+    env_parity = {"1ssg": 1, "2ssg": 1, "3dsg": 1, "2psu": -1, "3psu": -1,
+                  "2ppu": 1, "3dpg": -1, "3ddg": 1}.get(state)
+    if env_parity is not None \
+            and cfg.model.inversion_symmetry != env_parity:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           inversion_symmetry=env_parity))
     new_params, info = distill.distill(params, cfg, n=args.n_test,
                                        steps=args.steps)
     out_dir = args.out or os.path.dirname(os.path.abspath(args.checkpoint))

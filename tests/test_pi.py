@@ -164,3 +164,34 @@ def test_pi_2ppu_artifact_regression():
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
         assert -1e-3 <= err_mha <= 0.1, (ri, err_mha)
+
+
+def test_pi_3dpg_artifact_regression():
+    """Golden regression on the shipped 3d pi_g artifact (the pi-g sector
+    minimum: UNGERADE envelope x y): E_int within 0.8 mHa of the exact ODE
+    oracle at probe Rs, every one variationally positive. Also the
+    field-tested evaluate-parity trap: scoring this artifact with a gerade
+    cfg must NOT reproduce these numbers (the envelope parity is derived
+    from the target state in cli evaluate)."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "pi_3dpg.npz")
+    if not os.path.exists(path):
+        pytest.skip("3dpg artifact not present")
+    params, meta = checkpoint.load_params(path)
+    assert meta["target_state"] == "3dpg" and meta["m_abs"] == 1
+    params = params.get("params", params)
+    params = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+              for k, v in params.items()}
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable", m_abs=1,
+                                           inversion_symmetry=-1))
+    r_probe = np.array([0.2, 1.0, 2.0, 4.0])
+    exact = aen.exact_energy_ode(r_probe, state="3dpg")
+    for ri, ex in zip(r_probe, exact):
+        e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
+        err_mha = 1e3 * (e - ex)
+        assert -1e-3 <= err_mha <= 0.8, (ri, err_mha)
