@@ -195,3 +195,31 @@ def test_pi_3dpg_artifact_regression():
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
         assert -1e-3 <= err_mha <= 0.8, (ri, err_mha)
+
+
+def test_delta_3ddg_artifact_regression():
+    """Golden regression on the shipped 3d delta_g artifact (the
+    delta-sector minimum, |m| = 2: gerade envelope x (y^2 - z^2)): E_int
+    within 1.1 mHa of the exact ODE oracle at probe Rs, every one
+    variationally positive."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "delta_3ddg.npz")
+    if not os.path.exists(path):
+        pytest.skip("3ddg artifact not present")
+    params, meta = checkpoint.load_params(path)
+    assert meta["target_state"] == "3ddg" and meta["m_abs"] == 2
+    params = params.get("params", params)
+    params = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+              for k, v in params.items()}
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable", m_abs=2))
+    r_probe = np.array([0.2, 1.0, 2.0, 4.0])
+    exact = aen.exact_energy_ode(r_probe, state="3ddg")
+    for ri, ex in zip(r_probe, exact):
+        e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
+        err_mha = 1e3 * (e - ex)
+        assert -1e-3 <= err_mha <= 1.1, (ri, err_mha)
