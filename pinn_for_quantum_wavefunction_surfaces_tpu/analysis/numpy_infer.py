@@ -37,8 +37,15 @@ _BETA_HALF = 0.75
 
 
 def orbital_exponent(params: dict, r: np.ndarray) -> np.ndarray:
-    """alpha(R) = 1.5 + 0.75 tanh(head(R)); 1 when the head is absent."""
+    """alpha(R) = 1.5 + 0.75 tanh(head(R)); 1 when the head is absent.
+    Wide-range variant 1.275 + 0.975 tanh(head) for "xalpha*" params
+    (models/ansatz, ModelConfig.wide_alpha)."""
     r = np.asarray(r, np.float64)
+    if "xalpha1" in params:
+        a = _sigmoid(r[..., None] @ params["xalpha1"]["w"]
+                     + params["xalpha1"]["b"])
+        h = (a @ params["xalpha2"]["w"] + params["xalpha2"]["b"])[..., 0]
+        return 1.275 + 0.975 * np.tanh(h)
     if "alpha1" not in params:
         return np.ones_like(r)
     a = _sigmoid(r[..., None] @ params["alpha1"]["w"] + params["alpha1"]["b"])
@@ -70,7 +77,8 @@ def psi(params: dict, x, y, z, r, arch: str = "symmetric",
     gerade-only output bias)."""
     x, y, z, r = (np.asarray(a, np.float64) for a in (x, y, z, r))
     p = inversion_symmetry
-    alpha = orbital_exponent(params, r) if "alpha1" in params else None
+    alpha = orbital_exponent(params, r) \
+        if ("alpha1" in params or "xalpha1" in params) else None
 
     if "lam1" in params:
         # separable-spheroidal family (models/ansatz._psi_separable):

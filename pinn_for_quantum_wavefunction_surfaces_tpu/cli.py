@@ -79,6 +79,8 @@ def _build_cfg(args) -> "object":
         model = dataclasses.replace(model, eta_node=True)
     if getattr(args, "m_abs", 0):
         model = dataclasses.replace(model, m_abs=args.m_abs)
+    if getattr(args, "wide_alpha", False):
+        model = dataclasses.replace(model, wide_alpha=True)
     return dataclasses.replace(cfg, model=model, train=train, domain=domain,
                                dtype=args.dtype)
 
@@ -119,6 +121,12 @@ def _add_common(p, train=False):
     if train:
         p.add_argument("--arch", default="symmetric",
                        choices=["symmetric", "minimal", "separable"])
+        p.add_argument("--wide-alpha", action="store_true",
+                       dest="wide_alpha",
+                       help="orbital exponent alpha(R) in (0.3, 2.25) "
+                            "instead of (0.75, 2.25) — excited manifolds "
+                            "dissociating to H(n>=2) need alpha = 1/n "
+                            "tails (separable arch)")
         p.add_argument("--n-train", type=int, dest="n_train")
         p.add_argument("--epochs", type=int,
                help="TOTAL schedule length; a resumed run trains the remaining\n epochs - start_step steps")

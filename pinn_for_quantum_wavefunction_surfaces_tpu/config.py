@@ -87,6 +87,15 @@ class ModelConfig:
     # for odd m): 2p pi_u = gerade envelope * y; 3d pi_g = ungerade
     # envelope * y. Separable arch only.
     m_abs: int = 0
+    # Wide orbital-exponent range alpha(R) in (0.3, 2.25) (params key
+    # "xalpha*") instead of the default (0.75, 2.25). Excited-manifold
+    # states dissociate to H(n >= 2) whose tails need alpha = 1/n — e.g.
+    # H(3d) wants 1/3, and the 3d delta_g surface measured the default
+    # bound binding (large-R-dominated error). The lower edge stays above
+    # 0.25 + epsilon so the ungerade b < alpha - 0.25 bound keeps b > 0,
+    # and strictly positive so the alpha -> 0 inflation mode stays
+    # excluded. Separable arch only; legacy checkpoints are params-keyed.
+    wide_alpha: bool = False
 
     def __post_init__(self):
         if self.arch not in ("symmetric", "minimal", "separable"):
@@ -98,6 +107,8 @@ class ModelConfig:
         if self.m_abs and self.arch != "separable":
             raise ValueError("m_abs > 0 (pi/delta sectors) requires the "
                              "separable arch")
+        if self.wide_alpha and self.arch != "separable":
+            raise ValueError("wide_alpha requires the separable arch")
 
 
 @dataclasses.dataclass(frozen=True)

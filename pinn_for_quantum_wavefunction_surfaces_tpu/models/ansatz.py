@@ -128,14 +128,18 @@ def _init_separable(keys, mcfg: ModelConfig, dtype) -> dict:
         "mu1": lin(keys[6], 2, h),
         "mu2": lin(keys[7], h, h),
         "muout": {"w": jnp.zeros((h, 1), dtype), "b": jnp.zeros((1,), dtype)},
-        # the GZ exponent heads are part of the family (alpha(R), b(R))
-        "alpha1": _init_linear(keys[8], 1, mcfg.hidden_alpha, dtype),
-        "alpha2": {"w": jnp.zeros((mcfg.hidden_alpha, 1), dtype),
-                   "b": jnp.full((1,), ALPHA_BIAS_INIT, dtype)},
-        "beta1": _init_linear(keys[9], 1, mcfg.hidden_alpha, dtype),
-        "beta2": {"w": jnp.zeros((mcfg.hidden_alpha, 1), dtype),
-                  "b": jnp.full((1,), BETA_BIAS_INIT, dtype)},
     }
+    # the GZ exponent heads are part of the family (alpha(R), b(R));
+    # wide_alpha selects the (0.3, 2.25) "xalpha" range for excited
+    # manifolds whose dissociation tails need alpha < 0.75
+    a_key = "xalpha" if mcfg.wide_alpha else "alpha"
+    a_bias = XALPHA_BIAS_INIT if mcfg.wide_alpha else ALPHA_BIAS_INIT
+    params[a_key + "1"] = _init_linear(keys[8], 1, mcfg.hidden_alpha, dtype)
+    params[a_key + "2"] = {"w": jnp.zeros((mcfg.hidden_alpha, 1), dtype),
+                           "b": jnp.full((1,), a_bias, dtype)}
+    params["beta1"] = _init_linear(keys[9], 1, mcfg.hidden_alpha, dtype)
+    params["beta2"] = {"w": jnp.zeros((mcfg.hidden_alpha, 1), dtype),
+                       "b": jnp.full((1,), BETA_BIAS_INIT, dtype)}
     params["eout"]["b"] = jnp.full((1,), mcfg.eout_bias_init, dtype)
     if mcfg.xi_node:
         # R-aware physical-radius parameterisation (see node_xi0; the
@@ -187,10 +191,26 @@ _ALPHA_MID, _ALPHA_HALF = 1.5, 0.75
 # head output h0 with zero weights such that alpha(R) == 1 exactly at init
 ALPHA_BIAS_INIT = float(np.arctanh((1.0 - _ALPHA_MID) / _ALPHA_HALF))
 
+# WIDE exponent range (0.3, 2.25) for excited-manifold families
+# (ModelConfig.wide_alpha, params key "xalpha*"): states dissociating to
+# H(n >= 2) need tail exponents down to 1/n (H(2p): 0.5, H(3d): 1/3 —
+# outside the (0.75, 2.25) bound; the 3d delta_g surface measured the
+# bound binding: large-R-dominated 0.97 mHa). The lower edge stays
+# strictly positive, so the alpha -> 0 inflation mode remains excluded.
+# Legacy checkpoints keep the narrow formula (params-keyed dispatch).
+_XALPHA_MID, _XALPHA_HALF = 1.275, 0.975
+XALPHA_BIAS_INIT = float(np.arctanh((1.0 - _XALPHA_MID) / _XALPHA_HALF))
+
 
 def orbital_exponent(params: dict, r: jax.Array) -> jax.Array:
-    """alpha(R) = 1.5 + 0.75 tanh(head(R)); exactly 1 when the head is
-    absent or at its init. r: (...,)."""
+    """alpha(R) = 1.5 + 0.75 tanh(head(R)) — or the wide variant
+    1.275 + 0.975 tanh(head) for "xalpha*" params; exactly 1 when the
+    head is absent or at its init. r: (...,)."""
+    if "xalpha1" in params:
+        a = jax.nn.sigmoid(r[..., None] @ params["xalpha1"]["w"]
+                           + params["xalpha1"]["b"])
+        h = (a @ params["xalpha2"]["w"] + params["xalpha2"]["b"])[..., 0]
+        return _XALPHA_MID + _XALPHA_HALF * jnp.tanh(h)
     if "alpha1" not in params:
         return jnp.ones_like(r)
     a = jax.nn.sigmoid(r[..., None] @ params["alpha1"]["w"]

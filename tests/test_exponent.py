@@ -69,3 +69,49 @@ def test_finetune_freezes_alpha():
                                   res2.params["alpha1"]["w"])
     np.testing.assert_array_equal(res.params["alpha2"]["w"],
                                   res2.params["alpha2"]["w"])
+
+
+def test_wide_alpha_head():
+    import pytest
+    """ModelConfig.wide_alpha: the (0.3, 2.25) "xalpha*" head — exactly 1
+    at init, bounded at both edges, lower edge clear of the ungerade
+    b < alpha - 0.25 bound, params-keyed (legacy alpha1 untouched)."""
+    import jax.numpy as jnp
+    from pinn_for_quantum_wavefunction_surfaces_tpu.models import ansatz
+    mcfg = pqs.ModelConfig(arch="separable", wide_alpha=True)
+    p = ansatz.init_params(jax.random.PRNGKey(0), mcfg, jnp.float64)
+    assert "xalpha1" in p and "alpha1" not in p
+    r = jnp.asarray([0.2, 1.0, 4.0])
+    np.testing.assert_allclose(np.asarray(ansatz.orbital_exponent(p, r)),
+                               1.0, rtol=0, atol=1e-15)
+    p["xalpha2"]["b"] = jnp.asarray([-50.0])
+    lo = float(ansatz.orbital_exponent(p, r)[0])
+    p["xalpha2"]["b"] = jnp.asarray([50.0])
+    hi = float(ansatz.orbital_exponent(p, r)[0])
+    assert abs(lo - 0.3) < 1e-9 and abs(hi - 2.25) < 1e-9
+    assert lo > 0.25  # the ungerade b-bound stays positive
+    with pytest.raises(ValueError):
+        pqs.ModelConfig(arch="symmetric", wide_alpha=True)
+
+
+def test_wide_alpha_numpy_infer_parity():
+    import jax.numpy as jnp
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import \
+        numpy_infer
+    from pinn_for_quantum_wavefunction_surfaces_tpu.models import ansatz
+    mcfg = pqs.ModelConfig(arch="separable", wide_alpha=True, m_abs=1)
+    p = ansatz.init_params(jax.random.PRNGKey(2), mcfg, jnp.float64)
+    for nm in ("lamout", "muout", "xalpha2", "beta2"):
+        p[nm]["w"] = 0.3 * jax.random.normal(jax.random.PRNGKey(9),
+                                             p[nm]["w"].shape, jnp.float64)
+    k = jax.random.split(jax.random.PRNGKey(3), 4)
+    x, y, z = (jax.random.uniform(k[i], (32,), jnp.float64, -4, 4)
+               for i in range(3))
+    r = jax.random.uniform(k[3], (32,), jnp.float64, 0.2, 4.0)
+    np_p = {kk: {n: np.asarray(v) for n, v in sub.items()}
+            for kk, sub in p.items()}
+    got = numpy_infer.psi(np_p, np.asarray(x), np.asarray(y),
+                          np.asarray(z), np.asarray(r), arch="separable",
+                          m_abs=1)
+    want, _ = ansatz.psi(p, mcfg, x, y, z, r)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12)
