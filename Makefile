@@ -79,7 +79,7 @@ excited-3dsg:
 # gerade envelope, 3d pi_g the ungerade one.
 excited-2ppu:
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
-	  variational --out runs/pi_2ppu --arch separable --m-abs 1 \
+	  variational --out runs/pi_2ppu --arch separable --m-abs 1 --wide-alpha \
 	  --spheroidal --adam-warmup 1500 --lbfgs 800 \
 	  --n-r 39 --n-xi 40 --n-eta 24 --dtype float64
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
@@ -87,7 +87,7 @@ excited-2ppu:
 
 excited-3dpg:
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
-	  variational --out runs/pi_3dpg --arch separable --m-abs 1 \
+	  variational --out runs/pi_3dpg --arch separable --m-abs 1 --wide-alpha \
 	  --state ungerade --spheroidal --adam-warmup 1500 --lbfgs 800 \
 	  --n-r 39 --n-xi 40 --n-eta 24 --dtype float64
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
@@ -95,7 +95,7 @@ excited-3dpg:
 
 excited-3ddg:
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
-	  variational --out runs/delta_3ddg --arch separable --m-abs 2 \
+	  variational --out runs/delta_3ddg --arch separable --m-abs 2 --wide-alpha \
 	  --spheroidal --adam-warmup 1500 --lbfgs 800 \
 	  --n-r 39 --n-xi 40 --n-eta 24 --dtype float64
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
