@@ -199,8 +199,9 @@ def test_pi_3dpg_artifact_regression():
 
 def test_delta_3ddg_artifact_regression():
     """Golden regression on the shipped 3d delta_g artifact (the
-    delta-sector minimum, |m| = 2: gerade envelope x (y^2 - z^2)): E_int
-    within 1.1 mHa of the exact ODE oracle at probe Rs, every one
+    delta-sector minimum, |m| = 2: gerade envelope x (y^2 - z^2), WIDE
+    alpha head — the narrow run measured the 0.75 alpha floor binding):
+    E_int within 0.05 mHa of the exact ODE oracle at probe Rs, every one
     variationally positive."""
     import os
     from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
@@ -222,4 +223,4 @@ def test_delta_3ddg_artifact_regression():
     for ri, ex in zip(r_probe, exact):
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
-        assert -1e-3 <= err_mha <= 1.1, (ri, err_mha)
+        assert -1e-3 <= err_mha <= 0.05, (ri, err_mha)
