@@ -168,8 +168,9 @@ def test_pi_2ppu_artifact_regression():
 
 def test_pi_3dpg_artifact_regression():
     """Golden regression on the shipped 3d pi_g artifact (the pi-g sector
-    minimum: UNGERADE envelope x y): E_int within 0.8 mHa of the exact ODE
-    oracle at probe Rs, every one variationally positive. Also the
+    minimum: UNGERADE envelope x y, wide alpha head): E_int within 0.12
+    mHa of the exact ODE oracle at probe Rs, every one variationally
+    positive. Also the
     field-tested evaluate-parity trap: scoring this artifact with a gerade
     cfg must NOT reproduce these numbers (the envelope parity is derived
     from the target state in cli evaluate)."""
@@ -194,7 +195,7 @@ def test_pi_3dpg_artifact_regression():
     for ri, ex in zip(r_probe, exact):
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
-        assert -1e-3 <= err_mha <= 0.8, (ri, err_mha)
+        assert -1e-3 <= err_mha <= 0.12, (ri, err_mha)
 
 
 def test_delta_3ddg_artifact_regression():
