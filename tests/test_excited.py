@@ -356,11 +356,10 @@ def test_excited_3dsg_artifact_regression():
                      model=pqs.ModelConfig(arch="separable", eta_node=True))
     r_probe = np.array([0.2, 1.0, 2.0, 4.0])
     exact = aen.exact_energy_ode(r_probe, state="3dsg")
-    caps = {0.2: 2.3}
     for ri, ex in zip(r_probe, exact):
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
-        assert -1e-3 <= err_mha <= caps.get(float(ri), 0.5), (ri, err_mha)
+        assert -1e-3 <= err_mha <= 0.25, (ri, err_mha)
     refs = []
     for p in ("artifacts/flagship_separable.npz",
               "artifacts/excited_2ssg.npz"):
