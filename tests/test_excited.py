@@ -357,7 +357,7 @@ def test_excited_3dsg_artifact_regression():
     for ri, ex in zip(r_probe, exact):
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
-        assert -1e-3 <= err_mha <= 0.25, (ri, err_mha)
+        assert -1e-3 <= err_mha <= 0.12, (ri, err_mha)
     refs = []
     for p in ("artifacts/flagship_separable.npz",
               "artifacts/excited_2ssg.npz"):
