@@ -69,8 +69,10 @@ STATE_INDEX = {
     "2ssg": (0, 1, 0, 1),
     "3dsg": (0, 1, 1, 0),
     "3psu": (0, -1, 0, 1),
+    "3ssg": (0, 1, 0, 2),
     "2ppu": (1, 1, 0, 0),
     "3dpg": (1, -1, 0, 0),
+    "3ppu": (1, 1, 0, 1),
     "3ddg": (2, 1, 0, 0),
 }
 STATES = tuple(STATE_INDEX)
@@ -79,7 +81,7 @@ STATES = tuple(STATE_INDEX)
 # He+ level -Z^2/2n^2 with margin; the m = 0 sectors keep their historical
 # wider windows — 2psu famously dips BELOW its united-atom level, to
 # -0.6675 at D = 2, so windows are per-state data, not derivable from n).
-_SCAN_LO = {"2ppu": -0.7, "3dpg": -0.6, "3ddg": -0.6}
+_SCAN_LO = {"2ppu": -0.7, "3dpg": -0.6, "3ppu": -0.7, "3ddg": -0.6}
 
 
 def angular_eigenvalue(c2: float, parity: int, n_basis: int = 60,
@@ -130,22 +132,49 @@ def _radial_condition(e: float, d: float, a_sep: float, m: int = 0,
                 - 2.0 * c * (2.0 * n + 1.0) + m * m + m
                 + (m + 2.0 * n + 1.0) * sig - 2.0 * n * n)
 
-    # backward recurrence for the minimal-solution ratio r_n = g_{n+1}/g_n:
-    #   alpha_n r_n + beta_n + gamma_n / r_{n-1} = 0
-    #   => r_{n-1} = -gamma_n / (beta_n + alpha_n r_n)
-    r = 1.0 - 2.0 * np.sqrt(c / n_terms)  # asymptotic minimal ratio
+    # Backward recurrence for the minimal-solution ratio r_n = g_{n+1}/g_n:
+    #   r_{n-1} = -gamma_n / (beta_n + alpha_n r_n),
+    # carried HOMOGENEOUSLY as r_n = p/q (rescaled each step) so the
+    # returned condition C = beta_0 q + alpha_0 p is pole-free in E:
+    # the scalar form beta_0 + alpha_0 r_0 has continued-fraction poles
+    # that can sit arbitrarily close to a genuine root (observed for the
+    # 3ssg root at D=4: pole and root ~2 mHa apart, cancelling the sign
+    # change on any coarse scan); multiplying through by the denominator
+    # chain keeps C continuous, with sign changes ONLY at eigenvalues.
+    p = 1.0 - 2.0 * np.sqrt(c / n_terms)  # asymptotic minimal ratio
+    q = 1.0
     for n in range(n_terms, 0, -1):
-        r = -((n + m - doc) * (n - doc)) / (beta(n)
-                                            + (n + 1.0) * (n + m + 1.0) * r)
-    return beta(0) + (m + 1.0) * r  # n = 0 row: beta_0 g_0 + alpha_0 g_1 = 0
+        p, q = (-((n + m - doc) * (n - doc)) * q,
+                beta(n) * q + (n + 1.0) * (n + m + 1.0) * p)
+        s = abs(p) + abs(q)
+        if s > 1e100 or s < 1e-100:
+            p /= s
+            q /= s
+    return beta(0) * q + (m + 1.0) * p  # n = 0 row: beta_0 g_0 + alpha_0 g_1
 
 
 def _eigencondition(e: float, d: float, parity: int,
-                    branch: int = 0, m: int = 0) -> float:
+                    branch: int = 0, m: int = 0,
+                    n_terms: int | None = None) -> float:
     c2 = -e * d * d / 2.0
     return _radial_condition(e, d, angular_eigenvalue(c2, parity,
                                                       branch=branch, m=m),
-                             m=m)
+                             m=m, n_terms=n_terms)
+
+
+def _quantized_n_terms(d: float, e: float) -> int:
+    """Series length for E, quantized to a 400 * 2^k ladder. The
+    homogeneous condition's SIGN carries an overall factor that depends on
+    the series length, so adjacent sign comparisons must use the SAME
+    n_terms or int(120/c) steps masquerade as roots; quantizing makes the
+    length constant over long E stretches (re-anchoring is then rare) while
+    keeping the cost local — a fixed whole-window length made small-D scans
+    ~40x slower (n_terms ~ 1/c explodes toward E -> 0)."""
+    c = d * np.sqrt(-e / 2.0)
+    nt = 400
+    while nt * c < 120.0 and nt < 1 << 22:
+        nt *= 2
+    return nt
 
 
 def _find_bracket(d: float, parity: int, lo: float, hi: float,
@@ -154,18 +183,23 @@ def _find_bracket(d: float, parity: int, lo: float, hi: float,
     """Bracket of the ``n_root``-th genuine sign change of the eigenvalue
     condition on [lo, hi] (scanning upward: j-th root = j radial nodes)."""
     es = np.linspace(lo, hi, n_scan)
-    f_prev = _eigencondition(es[0], d, parity, branch, m)
+    nt_prev = _quantized_n_terms(d, es[0])
+    f_prev = _eigencondition(es[0], d, parity, branch, m, nt_prev)
     seen = 0
     for i, e in enumerate(es[1:]):
-        f = _eigencondition(e, d, parity, branch, m)
-        # Genuine eigenvalues cross UPWARD (f' > 0 at the root) with
-        # moderate values on both sides; continued-fraction poles cross
-        # downward with large magnitude (verified on the known 1ssg/2psu
-        # roots and on dense scans of the excited sectors — a pole at
-        # D=0.02 odd-parity shows (+91, -148), the neighbouring genuine
-        # roots (-0.014, +0.015) and (-0.003, +0.099)).
-        if np.isfinite(f) and np.isfinite(f_prev) \
-                and f_prev < 0.0 < f and abs(f) + abs(f_prev) < 1e6:
+        nt = _quantized_n_terms(d, e)
+        if nt != nt_prev:
+            # re-anchor the left endpoint at the new series length so the
+            # sign pair below is length-consistent
+            f_prev = _eigencondition(es[i], d, parity, branch, m, nt)
+            nt_prev = nt
+        f = _eigencondition(e, d, parity, branch, m, nt)
+        # The homogeneous condition (see _radial_condition) is pole-free,
+        # so at fixed n_terms EVERY sign change is a genuine eigenvalue —
+        # no magnitude or crossing-direction heuristics needed (the scalar
+        # CF form had poles that could mask roots; fixed for the 3ssg root
+        # at D=4, where pole and root sat ~2 mHa apart).
+        if np.isfinite(f) and np.isfinite(f_prev) and f_prev * f < 0.0:
             if seen == n_root:
                 return (es[i], e)
             seen += 1
@@ -197,8 +231,10 @@ def _exact_cached(r_half: float, state: str, tol: float,
     if bracket is None:  # pragma: no cover
         raise RuntimeError(f"no eigenvalue bracket found for D={d}, {state}")
     from scipy.optimize import brentq
-    return float(brentq(lambda x: _eigencondition(x, d, parity, branch, m),
-                        bracket[0], bracket[1], xtol=tol, rtol=8.9e-16))
+    nt = _quantized_n_terms(d, bracket[1])
+    return float(brentq(
+        lambda x: _eigencondition(x, d, parity, branch, m, nt),
+        bracket[0], bracket[1], xtol=tol, rtol=8.9e-16))
 
 
 def exact_electronic_energy(r_half: float, state: str = "1ssg",

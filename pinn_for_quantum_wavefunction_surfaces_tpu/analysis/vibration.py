@@ -101,14 +101,34 @@ def oracle_table(state: str = "1ssg", r_lo: float = 0.2, r_hi: float = 4.0,
     return {"R": r, "E": exact.exact_surface(r, state)}
 
 
-def summarize(levels: np.ndarray) -> dict:
+# Separated-atom principal quantum number per electronic state: the curve
+# dissociates to H(n_sep) + p, asymptote E_el -> -1/(2 n_sep^2). Verified
+# numerically against the exact oracle at D = 60 (E_el + 1/D matches the
+# listed level to < 1 mHa for every state; see tests).
+SEPARATED_ATOM_N = {
+    "1ssg": 1, "2psu": 1,
+    "2ssg": 2, "3dsg": 2, "3psu": 2, "2ppu": 2, "3dpg": 2,
+    "3ssg": 3, "3ppu": 3, "3ddg": 3,
+}
+
+
+def dissociation_asymptote(state: str = "1ssg") -> float:
+    """E_tot(D -> inf) of the electronic surface: the H(n_sep) level."""
+    n = SEPARATED_ATOM_N[state]
+    return -0.5 / (n * n)
+
+
+def summarize(levels: np.ndarray, asymptote: float = -0.5) -> dict:
     """JSON-friendly summary: levels (Ha), fundamental and spacings in
-    cm^-1, and the dissociation energy D0 = E(H, 1s) - E0 = -0.5 - E0."""
+    cm^-1, and the dissociation energy D0 = asymptote - E0 where
+    ``asymptote`` is the separated-atom limit of the surface
+    (``dissociation_asymptote(state)``; default H(1s) = -0.5 — correct
+    for the ground surface only)."""
     levels = np.asarray(levels, np.float64)
     return {
         "levels_Ha": [round(float(e), 9) for e in levels],
         "spacings_cm1": [round(float(d) * HARTREE_CM1, 2)
                          for d in np.diff(levels)],
-        "D0_Ha": round(-0.5 - float(levels[0]), 9),
-        "D0_eV": round((-0.5 - float(levels[0])) * 27.211386246, 5),
+        "D0_Ha": round(asymptote - float(levels[0]), 9),
+        "D0_eV": round((asymptote - float(levels[0])) * 27.211386246, 5),
     }

@@ -409,9 +409,9 @@ def cmd_variational(args) -> None:
         meta = {"polish": polish}
         # known states per (|m|, envelope parity) sector, lowest first —
         # k deflated references target the (k+1)-th state
-        sector = {(0, 1): ["1ssg", "2ssg", "3dsg"],
+        sector = {(0, 1): ["1ssg", "2ssg", "3dsg", "3ssg"],
                   (0, -1): ["2psu", "3psu"],
-                  (1, 1): ["2ppu"], (1, -1): ["3dpg"],
+                  (1, 1): ["2ppu", "3ppu"], (1, -1): ["3dpg"],
                   (2, 1): ["3ddg"]}.get(
             (cfg.model.m_abs, cfg.model.inversion_symmetry), [])
         if cfg.model.m_abs:
@@ -487,8 +487,10 @@ def cmd_evaluate(args) -> None:
     # ungerade-envelope pi run without --state ungerade rebuilt a gerade
     # ansatz around ungerade-trained params and scored a garbage mixed
     # trial 120 mHa below the sector minimum)
-    env_parity = {"1ssg": 1, "2ssg": 1, "3dsg": 1, "2psu": -1, "3psu": -1,
-                  "2ppu": 1, "3dpg": -1, "3ddg": 1}.get(state)
+    # envelope parity = the oracle's parity index (STATE_INDEX[state][1]):
+    # for m > 0 the TOTAL state parity is envelope * (-1)^m
+    from .analysis.exact import STATE_INDEX as _SI
+    env_parity = _SI[state][1] if state in _SI else None
     if env_parity is not None \
             and cfg.model.inversion_symmetry != env_parity:
         cfg = dataclasses.replace(
@@ -563,8 +565,15 @@ def cmd_evaluate(args) -> None:
         from .analysis import etab
         e_tab = etab.energy_from_table(table, surf["R"])
         terr = 1e3 * np.abs(e_tab - exact)
-        half = 0.5 * float(table["R"][1] - table["R"][0])
-        r_off = surf["R"][:-1] + half
+        # probe at the LOCAL knot-interval midpoints (knots are
+        # log-clustered, so a single global half-spacing taken from the
+        # first interval lands nearly on-knot at large R and underreports
+        # interpolation error there)
+        tab_r = np.asarray(table["R"], np.float64)
+        mid = 0.5 * (tab_r[:-1] + tab_r[1:])
+        mid = mid[(mid >= surf["R"].min()) & (mid <= surf["R"].max())]
+        # subsample to bound the oracle cost (~1 s per uncached root)
+        r_off = mid[np.unique(np.linspace(0, len(mid) - 1, 48).astype(int))]
         ex_off = aen.exact_energy_ode(r_off, state=state)
         terr_off = 1e3 * np.abs(etab.energy_from_table(table, r_off) - ex_off)
         out.update({
@@ -608,9 +617,13 @@ def cmd_vibrations(args) -> None:
     (analysis.vibration): from an evaluated artifact's spline E(R) table,
     or from the exact ODE oracle as the ruler (--oracle STATE)."""
     from .analysis import etab, vibration
+    from .io import checkpoint
+    state = args.vib_state
     if args.oracle:
-        table = vibration.oracle_table(args.oracle)
+        table = vibration.oracle_table(args.oracle, r_lo=args.r_lo,
+                                       r_hi=args.r_hi)
         source = f"oracle:{args.oracle}"
+        state = state or args.oracle
     else:
         if not args.checkpoint:
             raise SystemExit("give an evaluated .npz artifact (with an "
@@ -620,10 +633,16 @@ def cmd_vibrations(args) -> None:
             raise SystemExit(f"{args.checkpoint} carries no e_table "
                              "subtree — run `cli evaluate` first")
         source = args.checkpoint
+        if state is None:
+            # evaluated artifacts record which oracle state they score
+            # against — that fixes the dissociation asymptote for D0
+            _, ck_meta = checkpoint.load_params(args.checkpoint)
+            state = (ck_meta or {}).get("target_state", "1ssg")
     levels = vibration.levels_from_table(table, n_levels=args.n_levels,
                                          j=args.j)
-    out = {"source": source, "J": args.j}
-    out.update(vibration.summarize(levels))
+    out = {"source": source, "J": args.j, "state": state}
+    out.update(vibration.summarize(
+        levels, asymptote=vibration.dissociation_asymptote(state)))
     print(json.dumps(out))
 
 
@@ -794,7 +813,8 @@ def main(argv=None) -> None:
                         "these frozen lower-state checkpoints (excited-state "
                         "certificate; repeatable)")
     p.add_argument("--target-state", dest="target_state",
-                   choices=["1ssg", "2psu", "2ssg", "3dsg", "3psu"],
+                   choices=["1ssg", "2psu", "2ssg", "3dsg", "3psu", "3ssg",
+                            "2ppu", "3dpg", "3ppu", "3ddg"],
                    help="exact-oracle state to score against (default: "
                         "inferred from --state: gerade -> 1ssg, ungerade -> "
                         "2psu; deflation-trained excited checkpoints score "
@@ -828,6 +848,16 @@ def main(argv=None) -> None:
     p.add_argument("--n-levels", type=int, default=4, dest="n_levels")
     p.add_argument("--j", type=int, default=0,
                    help="rotational quantum number J")
+    p.add_argument("--state", dest="vib_state",
+                   help="electronic state label for the dissociation "
+                        "asymptote (default: the artifact's target_state "
+                        "meta / the --oracle state; excited curves "
+                        "dissociate to H(n>=2))")
+    p.add_argument("--r-lo", type=float, default=0.2, dest="r_lo",
+                   help="oracle-table R domain lower edge (half distance)")
+    p.add_argument("--r-hi", type=float, default=4.0, dest="r_hi",
+                   help="oracle-table R domain upper edge — excited wells "
+                        "sit near D ~ 8-18, extend past 4 for them")
     p.set_defaults(fn=cmd_vibrations)
 
     p = sub.add_parser("bench", help="throughput microbenchmark")

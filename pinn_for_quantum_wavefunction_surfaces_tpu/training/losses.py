@@ -14,6 +14,7 @@ yields psi, lap psi and E simultaneously.
 
 from __future__ import annotations
 
+import warnings
 from typing import NamedTuple
 
 import jax
@@ -23,6 +24,33 @@ from ..config import Config
 from ..models import ansatz
 from ..ops import operators
 from ..ops.sampling import Batch, masked_mean
+
+
+def pallas_unsupported_reason(params: dict, mcfg) -> str | None:
+    """Why the fused Pallas kernels cannot run this model family (or None).
+
+    The kernels predate the pi/delta transverse factor (ModelConfig.m_abs)
+    and the excited-state node factors (params node1/rnode1/enode1). Both
+    loss paths use this single guard so ``--kernel pallas`` on an uncovered
+    family warns loudly and falls back to the XLA fwdlap path instead of
+    silently substituting it (or raising from inside the kernel)."""
+    if mcfg.m_abs:
+        return ("the fused Pallas kernels do not implement the m_abs "
+                "transverse factor (pi/delta states)")
+    if "node1" in params or "rnode1" in params or "enode1" in params:
+        return ("the fused Pallas kernels do not implement the xi_node / "
+                "eta_node factors (excited states)")
+    return None
+
+
+def _pallas_or_fallback(params: dict, mcfg) -> bool:
+    """True if the Pallas kernel can run; warns + False otherwise."""
+    reason = pallas_unsupported_reason(params, mcfg)
+    if reason is None:
+        return True
+    warnings.warn(f"kernel='pallas' requested but {reason}; "
+                  "falling back to the XLA fwdlap path", stacklevel=3)
+    return False
 
 
 class LossAux(NamedTuple):
@@ -48,7 +76,7 @@ def loss_fn(params: dict, cfg: Config, batch: Batch,
     point's E under shard_map; the caller selects the global one.
     """
     ar = (lambda v: v) if allreduce is None else allreduce
-    if cfg.train.kernel == "pallas" and not cfg.model.m_abs:
+    if cfg.train.kernel == "pallas" and _pallas_or_fallback(params, cfg.model):
         # fused Pallas train kernel (custom VJP); interpret mode on CPU so
         # the same config runs in tests and on the virtual mesh. The kernel
         # is selected by the PARAMS (families have distinct subtrees), like

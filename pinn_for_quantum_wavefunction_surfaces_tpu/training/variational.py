@@ -37,7 +37,7 @@ from ..config import Config
 from ..models import ansatz
 from ..ops import operators
 from ..ops.sampling import sample_importance
-from . import engine
+from . import engine, losses
 
 
 class VBatch(NamedTuple):
@@ -85,11 +85,11 @@ def quotient_loss(params: dict, cfg: Config, vb: VBatch,
     n_r, n_pts = vb.x.shape
     rr = jnp.broadcast_to(vb.r[:, None], (n_r, n_pts)).reshape(-1)
     if cfg.train.kernel == "pallas" and "lam1" in params \
-            and not cfg.model.m_abs:
-        # (the fused separable kernel predates the pi/delta transverse
-        # factor; m > 0 falls through to the XLA fwdlap path)
+            and losses._pallas_or_fallback(params, cfg.model):
         # fused separable training kernel on the quotient hot path too, so
-        # the flagship (variational) recipe can run through it
+        # the flagship (variational) recipe can run through it; uncovered
+        # families (m_abs, node factors) warn + fall to the XLA path via
+        # the shared guard in losses.py
         from ..ops.pallas_separable import psi_lap_train_separable
         psi_f, lap_f, _ = psi_lap_train_separable(
             params, cfg.model, vb.x.reshape(-1), vb.y.reshape(-1),

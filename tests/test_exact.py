@@ -197,6 +197,75 @@ def test_pi_delta_states_vs_independent_rayleigh_ritz():
         assert -1e-9 < gap < 5e-4, (st, gap)
 
 
+def test_n3_completion_states_3ssg_3ppu():
+    """The two states completing the united-atom n<=3 shell (10 states):
+    3ssg = third gerade-sigma radial root, 3ppu = second pi_u radial root.
+    United-atom limit He+ n=3 (-2/9); separated-atom limit H(n=3) (-1/18,
+    NOT n=2 — both n=2 slots of their sectors are taken by 2ssg/3dsg resp.
+    2ppu); interlacing above the lower radial roots of the same branch.
+    The D=4 3ssg root sits ~2 mHa from a continued-fraction pole of the
+    scalar Jaffe condition — this test also pins the homogeneous
+    (pole-free) formulation that finds it."""
+    assert abs(exact.exact_electronic_energy(0.01, "3ssg") - (-2 / 9)) < 2e-4
+    assert abs(exact.exact_electronic_energy(0.01, "3ppu") - (-2 / 9)) < 2e-4
+    # the pole-adjacent root the scalar formulation missed
+    e = exact.exact_electronic_energy(2.0, "3ssg")
+    assert abs(e - (-0.1509902394)) < 1e-9
+    for lo, hi in (("2ssg", "3ssg"), ("2ppu", "3ppu")):
+        for r in (0.2, 1.0, 4.0):
+            assert exact.exact_electronic_energy(r, lo) \
+                < exact.exact_electronic_energy(r, hi), (lo, hi, r)
+    # separated-atom: H(n=3) with the far-proton monopole -1/D
+    for st in ("3ssg", "3ppu"):
+        e = exact.exact_electronic_energy(15.0, st)   # D = 30
+        assert abs(e - (-1 / 18 - 1 / 30)) < 1e-2, (st, e)
+
+
+def test_n3_completion_vs_independent_rayleigh_ritz():
+    """3ssg/3ppu against the independent Rayleigh-Ritz bound (same method
+    as the other excited-state cross-checks, with one more radial basis
+    power to resolve the higher radial roots)."""
+    import jax
+    import jax.numpy as jnp
+
+    r_half = 1.0
+    x, rho, w = aen.spheroidal_grid(r_half, 48, 48, 25.0)
+    x, rho = jnp.asarray(x), jnp.asarray(rho)
+
+    def basis(pt, j, k, m):
+        xx, yy, zz = pt
+        r1 = jnp.sqrt((xx - r_half) ** 2 + yy ** 2 + zz ** 2)
+        r2 = jnp.sqrt((xx + r_half) ** 2 + yy ** 2 + zz ** 2)
+        xi = (r1 + r2) / (2 * r_half)
+        eta = (r1 - r2) / (2 * r_half)
+        f = xi ** j * jnp.exp(-0.9 * r_half * (xi - 1.0)) * eta ** (2 * k)
+        return f * yy if m else f
+
+    def column(j, k, m):
+        f = lambda pt: basis(pt, j, k, m)
+        lap = lambda pt: jnp.trace(jax.hessian(f)(pt))
+        pts = jnp.stack([x, rho, jnp.zeros_like(x)], -1)
+        psi = jax.vmap(f)(pts)
+        r1 = jnp.sqrt((x - r_half) ** 2 + rho ** 2)
+        r2 = jnp.sqrt((x + r_half) ** 2 + rho ** 2)
+        hpsi = -0.5 * jax.vmap(lap)(pts) + (-1 / r1 - 1 / r2) * psi
+        return np.asarray(psi), np.asarray(hpsi)
+
+    from scipy.linalg import eigh
+    for m, n_k, states, tol in (
+            (0, 4, ("1ssg", "2ssg", "3dsg", "3ssg"), 2e-3),
+            (1, 3, ("2ppu", "3ppu"), 5e-4)):
+        cols = [column(j, k, m) for j in range(6) for k in range(n_k)]
+        p = np.stack([c[0] for c in cols])
+        hp = np.stack([c[1] for c in cols])
+        s_mat = (p * w) @ p.T
+        h_mat = (p * w) @ hp.T
+        ev = eigh(0.5 * (h_mat + h_mat.T), s_mat, eigvals_only=True)
+        gap = ev[len(states) - 1] \
+            - exact.exact_electronic_energy(r_half, states[-1])
+        assert -1e-9 < gap < tol, (states[-1], gap)
+
+
 def test_guess_and_scan_paths_agree():
     e_guided = exact.exact_electronic_energy(1.3, "1ssg",
                                              guess=float(

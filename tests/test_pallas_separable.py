@@ -142,3 +142,38 @@ def test_rejects_non_separable_params():
     x = jnp.ones((8,), jnp.float64)
     with pytest.raises(NotImplementedError):
         psi_lap_train_separable(params, mcfg, x, x, x, x, interpret=True)
+
+
+@pytest.mark.parametrize("family", ["m_abs", "xi_node"])
+def test_uncovered_family_warns_and_falls_back_to_xla(family):
+    """--kernel pallas on a family the kernels don't cover (pi/delta
+    transverse factor, node factors) must WARN and fall back to the XLA
+    fwdlap path — never silently substitute, never raise from inside the
+    kernel. Both loss paths (losses.loss_fn, variational.quotient_loss)
+    share the guard; the fallback losses must equal the XLA ones."""
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import \
+        variational
+
+    if family == "m_abs":
+        mcfg = pqs.ModelConfig(arch="separable", hidden=4, m_abs=1)
+    else:
+        mcfg = pqs.ModelConfig(arch="separable", hidden=4, xi_node=True)
+    params = ansatz.init_params(jax.random.PRNGKey(0), mcfg, jnp.float64)
+    cfg = pqs.smoke_config(dtype="float64")
+    cfg = dataclasses.replace(cfg, model=mcfg)
+    cfg_p = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, kernel="pallas"))
+
+    assert losses.pallas_unsupported_reason(params, mcfg) is not None
+
+    vb = variational.spheroidal_vbatch(cfg, n_r=2, n_xi=10, n_eta=6)
+    with pytest.warns(UserWarning, match="falling back"):
+        l_p, _ = variational.quotient_loss(params, cfg_p, vb)
+    l_x, _ = variational.quotient_loss(params, cfg, vb)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=0, atol=0)
+
+    batch = sample_batch(jax.random.PRNGKey(3), cfg, 64)
+    with pytest.warns(UserWarning, match="falling back"):
+        l_p, _ = losses.loss_fn(params, cfg_p, batch)
+    l_x, _ = losses.loss_fn(params, cfg, batch)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=0, atol=0)
