@@ -113,8 +113,17 @@ def psi(params: dict, x, y, z, r, arch: str = "symmetric",
             a = _sigmoid(r[..., None] @ params["rnode1"]["w"]
                          + params["rnode1"]["b"])
             h = (a @ params["rnode2"]["w"] + params["rnode2"]["b"])[..., 0]
-            out = out * (0.5 * (r1 + r2)
-                         - (r + 12.0 * _sigmoid(h)))  # ansatz.RNODE_CAP
+            p_node = r + 12.0 * _sigmoid(h)  # ansatz.RNODE_CAP
+            out = out * (0.5 * (r1 + r2) - p_node)
+            if "rnodeb1" in params:
+                # second radial node: first node's radius + bounded gap
+                # (models/ansatz.node_gap2: 0.3 + 8 sigmoid(head))
+                a = _sigmoid(r[..., None] @ params["rnodeb1"]["w"]
+                             + params["rnodeb1"]["b"])
+                h = (a @ params["rnodeb2"]["w"]
+                     + params["rnodeb2"]["b"])[..., 0]
+                out = out * (0.5 * (r1 + r2)
+                             - (p_node + 0.3 + 8.0 * _sigmoid(h)))
         if "enode1" in params:
             # angular node factor (models/ansatz.node_eta0sq)
             a = _sigmoid(r[..., None] @ params["enode1"]["w"]

@@ -75,6 +75,8 @@ def _build_cfg(args) -> "object":
         model = dataclasses.replace(model, gz=True)
     if getattr(args, "xi_node", False):
         model = dataclasses.replace(model, xi_node=True)
+    if getattr(args, "xi_node2", False):
+        model = dataclasses.replace(model, xi_node=True, xi_node2=True)
     if getattr(args, "eta_node", False):
         model = dataclasses.replace(model, eta_node=True)
     if getattr(args, "m_abs", 0):
@@ -779,6 +781,9 @@ def main(argv=None) -> None:
                    help="trainable radial node factor (xi - xi0(R)) on the "
                         "separable ansatz — radially excited states "
                         "(2s sigma_g / 3p sigma_u)")
+    p.add_argument("--xi-node2", action="store_true", dest="xi_node2",
+                   help="second radial node factor (implies --xi-node) — "
+                        "doubly radially excited states (3s sigma_g)")
     p.add_argument("--eta-node", action="store_true", dest="eta_node",
                    help="trainable angular node factor (eta^2 - eta0^2(R)) "
                         "on the separable ansatz — angularly excited sigma "

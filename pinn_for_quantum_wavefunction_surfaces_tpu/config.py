@@ -68,6 +68,13 @@ class ModelConfig:
     # factor is symmetric under r1 <-> r2 so inversion parity is untouched.
     # Separable arch only.
     xi_node: bool = False
+    # Second radial node factor for DOUBLY radially excited states
+    # (3s sigma_g): a second simple zero on a strictly LARGER ellipsoid,
+    # physical radius = first node's + gap(R) bounded in (0.3, 8.3) bohr
+    # (the positive margin keeps the zeros simple — coincident nodes would
+    # square the factor and lose the sign change). Requires xi_node;
+    # separable arch only.
+    xi_node2: bool = False
     # Angular node factor for ANGULARLY excited sigma states (3d sigma_g):
     # psi gains (eta^2 - eta0^2(R)) with eta0^2(R) = sigmoid(head(R)) in
     # (0, 1) — the exact M(eta) of a d-like sigma state has two symmetric

@@ -62,7 +62,7 @@ def init_params(key: jax.Array, mcfg: ModelConfig, dtype=jnp.float32) -> dict:
       U(+/- 1/sqrt(shape[0])) — for biases that is 1/sqrt(fan_out).
     """
     dtype = jnp.dtype(dtype)
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 13)
     h, he, hg = mcfg.hidden, mcfg.hidden_e, mcfg.hidden_gate
     if mcfg.arch == "separable":
         return _init_separable(keys, mcfg, dtype)
@@ -153,6 +153,14 @@ def _init_separable(keys, mcfg: ModelConfig, dtype) -> dict:
                                         dtype)
         params["enode2"] = {"w": jnp.zeros((mcfg.hidden_alpha, 1), dtype),
                             "b": jnp.full((1,), ETA_NODE_BIAS_INIT, dtype)}
+    if mcfg.xi_node2:
+        if not mcfg.xi_node:
+            raise ValueError("xi_node2 (second radial node) requires "
+                             "xi_node")
+        params["rnodeb1"] = _init_linear(keys[12], 1, mcfg.hidden_alpha,
+                                         dtype)
+        params["rnodeb2"] = {"w": jnp.zeros((mcfg.hidden_alpha, 1), dtype),
+                             "b": jnp.full((1,), RNODEB_BIAS_INIT, dtype)}
     return params
 
 
@@ -247,6 +255,18 @@ NODE_BIAS_INIT = float(np.log(1.0 / (XI0_CAP - 1.0)))  # xi0(R) == 2 at init
 RNODE_CAP = 12.0
 RNODE_BIAS_INIT = float(np.log(0.2))  # node at r + 2 bohr at init
 
+# Second radial node (xi_node2, params "rnodeb*") for doubly radially
+# excited states (3s sigma_g): its PHYSICAL radius is the first node's
+# plus a gap bounded in (0.3, 8.3) bohr — the strictly positive lower
+# margin keeps the two zeros simple (coincident nodes would square the
+# factor, lose the sign change, and re-open the collapse-onto-lower-state
+# mode the node factor exists to block). United-atom estimate: He+ 3s
+# nodes at r ~ 0.95 and 3.6 bohr (gap 2.6); H(3s) dissociation nodes at
+# 1.9 and 7.1 (gap 5.2) — both inside the bound. Init gap 2.5 bohr.
+RNODEB_CAP = 8.0
+RNODEB_GAP_LO = 0.3
+RNODEB_BIAS_INIT = float(np.log(2.2 / (RNODEB_CAP - 2.2)))
+
 
 def node_xi0(params: dict, r: jax.Array) -> jax.Array:
     """Trainable node position xi0(R) (xi_node models); the psi factor is
@@ -260,6 +280,17 @@ def node_xi0(params: dict, r: jax.Array) -> jax.Array:
                        + params["node1"]["b"])
     h = (a @ params["node2"]["w"] + params["node2"]["b"])[..., 0]
     return 1.0 + XI0_CAP * jax.nn.sigmoid(h)
+
+
+def node_gap2(params: dict, r: jax.Array) -> jax.Array:
+    """Physical gap (bohr) between the second and first radial-node
+    ellipsoids (xi_node2 models): the second factor is
+    (p_half - r xi0 - gap), gap in (RNODEB_GAP_LO, RNODEB_GAP_LO +
+    RNODEB_CAP)."""
+    a = jax.nn.sigmoid(r[..., None] @ params["rnodeb1"]["w"]
+                       + params["rnodeb1"]["b"])
+    h = (a @ params["rnodeb2"]["w"] + params["rnodeb2"]["b"])[..., 0]
+    return RNODEB_GAP_LO + RNODEB_CAP * jax.nn.sigmoid(h)
 
 
 # Angular node eta0^2(R) = sigmoid(head) in (0, 1); init at 1/3 (the P2
@@ -395,6 +426,10 @@ def _psi_separable(params: dict, mcfg: ModelConfig, x, y, z, r):
         # ellipsoid ((r1+r2)/2 = R xi0; the R factor is spatially constant
         # and absorbed by per-R normalisation)
         out = out * (p_half - r * node_xi0(params, r))
+        if "rnodeb1" in params:
+            # second radial node (3s sigma_g): a strictly larger ellipsoid
+            out = out * (p_half - r * node_xi0(params, r)
+                         - node_gap2(params, r))
     if "enode1" in params:
         # angularly excited sigma states (3d sigma_g): two symmetric
         # angular nodes at eta = +-eta0(R); eta^2 is even under inversion
@@ -515,6 +550,12 @@ def _psi_separable_fwdlap(params: dict, mcfg: ModelConfig, x, y, z, r):
         q = fwdlap.add(p_half,
                        fwdlap.const(-(r * node_xi0(params, r))[..., None]))
         out = fwdlap.mul(out, q)
+        if "rnodeb1" in params:
+            q2 = fwdlap.add(
+                p_half,
+                fwdlap.const(-(r * node_xi0(params, r)
+                               + node_gap2(params, r))[..., None]))
+            out = fwdlap.mul(out, q2)
     if "enode1" in params:
         q = fwdlap.add(eta2,
                        fwdlap.const(-node_eta0sq(params, r)[..., None]))

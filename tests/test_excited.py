@@ -25,12 +25,13 @@ def _points(n=48, seed=0):
     return x, y, z, r
 
 
-def _node_params(p=1, seed=1, xi=True, eta=False):
+def _node_params(p=1, seed=1, xi=True, eta=False, xi2=False):
     mcfg = pqs.ModelConfig(arch="separable", inversion_symmetry=p,
-                           xi_node=xi, eta_node=eta)
+                           xi_node=xi, eta_node=eta, xi_node2=xi2)
     params = ansatz.init_params(jax.random.PRNGKey(seed), mcfg, jnp.float64)
     names = ["lamout", "muout", "alpha2", "beta2"]
     names += (["rnode2"] if xi else []) + (["enode2"] if eta else [])
+    names += ["rnodeb2"] if xi2 else []
     k = jax.random.split(jax.random.PRNGKey(seed + 10), len(names))
     for i, name in enumerate(names):
         params[name]["w"] = 0.3 * jax.random.normal(
@@ -98,10 +99,39 @@ def test_eta_node_factor_at_init():
                                rtol=1e-12)
 
 
-@pytest.mark.parametrize("p,xi,eta", [(1, True, False), (-1, True, False),
-                                      (1, False, True), (1, True, True)])
-def test_node_fwdlap_matches_nested_ad(p, xi, eta):
-    mcfg, params = _node_params(p, xi=xi, eta=eta)
+def test_double_node_factor_at_init():
+    """xi_node2 init: psi == GZ * (p - (R+2)) * (p - (R+4.5)) with
+    p = (r1+r2)/2 — two simple zeros, the second 2.5 bohr (the init gap)
+    beyond the first; a strictly positive gap bound keeps them simple."""
+    mcfg = pqs.ModelConfig(arch="separable", xi_node=True, xi_node2=True)
+    params = ansatz.init_params(jax.random.PRNGKey(0), mcfg, jnp.float64)
+    x, y, z, r = _points()
+    psi_v, _ = ansatz.psi(params, mcfg, x, y, z, r)
+    a = ansatz.orbital_exponent(params, r)
+    b = ansatz.gz_exponent(params, r, 1, a)
+    r1 = jnp.sqrt((x - r) ** 2 + y ** 2 + z ** 2)
+    r2 = jnp.sqrt((x + r) ** 2 + y ** 2 + z ** 2)
+    gz = jnp.exp(-a * r1 - b * r2) + jnp.exp(-a * r2 - b * r1)
+    p_half = 0.5 * (r1 + r2)
+    want = gz * (p_half - (r + 2.0)) * (p_half - (r + 4.5))
+    np.testing.assert_allclose(psi_v, want, rtol=1e-12)
+    gap = ansatz.node_gap2(params, r)
+    np.testing.assert_allclose(gap, 2.5, rtol=1e-12)
+    # the gap bound is strictly positive for ANY head value
+    assert ansatz.RNODEB_GAP_LO > 0
+
+    with pytest.raises(ValueError, match="requires"):
+        ansatz.init_params(jax.random.PRNGKey(0),
+                           pqs.ModelConfig(arch="separable", xi_node2=True),
+                           jnp.float64)
+
+
+@pytest.mark.parametrize("p,xi,eta,xi2",
+                         [(1, True, False, False), (-1, True, False, False),
+                          (1, False, True, False), (1, True, True, False),
+                          (1, True, False, True), (-1, True, True, True)])
+def test_node_fwdlap_matches_nested_ad(p, xi, eta, xi2):
+    mcfg, params = _node_params(p, xi=xi, eta=eta, xi2=xi2)
     x, y, z, r = _points(32)
     s, e = ansatz.psi_fwdlap(params, mcfg, x, y, z, r)
     psi_v, e_v = ansatz.psi(params, mcfg, x, y, z, r)
@@ -132,7 +162,7 @@ def test_node_preserves_inversion_parity(p):
 def test_node_numpy_infer_parity():
     from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import \
         numpy_infer
-    mcfg, params = _node_params(seed=5, eta=True)
+    mcfg, params = _node_params(seed=5, eta=True, xi2=True)
     np_params = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
                  for k, v in params.items()}
     x, y, z, r = _points()
