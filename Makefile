@@ -93,6 +93,31 @@ excited-3dpg:
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
 	  evaluate runs/pi_3dpg/variational.npz --dtype float64
 
+# The two n<=3 completion states (round 4): 3p pi_u composes the pi-sector
+# transverse factor with xi-node deflation against 2ppu; 3s sigma_g is the
+# third gerade-sigma radial state — double xi-node + 3-reference deflation.
+excited-3ppu:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/pi_3ppu --arch separable --m-abs 1 --wide-alpha \
+	  --xi-node --spheroidal --deflate artifacts/pi_2ppu.npz \
+	  --adam-warmup 1500 --lbfgs 1500 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 48 --n-eta 32 --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/pi_3ppu/variational.npz --dtype float64
+
+excited-3ssg:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/excited_3ssg --arch separable --xi-node2 \
+	  --wide-alpha --spheroidal \
+	  --deflate artifacts/flagship_separable.npz \
+	  --deflate artifacts/excited_2ssg.npz \
+	  --deflate artifacts/excited_3dsg.npz \
+	  --adam-warmup 1500 --lbfgs 1500 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 48 --n-eta 32 --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/excited_3ssg/variational.npz --dtype float64 \
+	  --target-state 3ssg
+
 excited-3ddg:
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
 	  variational --out runs/delta_3ddg --arch separable --m-abs 2 --wide-alpha \

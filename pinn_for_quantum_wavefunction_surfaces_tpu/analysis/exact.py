@@ -116,6 +116,63 @@ def angular_eigenvalue(c2: float, parity: int, n_basis: int = 60,
     return -float(ev[branch])
 
 
+def _angular_eigenvalues_vec(c2s: np.ndarray, parity: int, n_basis: int = 60,
+                             branch: int = 0, m: int = 0) -> np.ndarray:
+    """Vectorised angular_eigenvalue over a batch of c^2 values — one
+    batched eigvals call instead of a Python loop of 60x60 solves."""
+    af = lambda l: (l - m + 1) / (2 * l + 1)
+    bf = lambda l: (l + m) / (2 * l + 1)
+    ls = np.arange(m if parity > 0 else m + 1, m + 2 * n_basis,
+                   2, dtype=np.float64)
+    n = len(ls)
+    c2s = np.asarray(c2s, np.float64)
+    mats = np.zeros((len(c2s), n, n))
+    diag = (-ls * (ls + 1))[None, :] + c2s[:, None] * (
+        af(ls) * bf(ls + 1) + bf(ls) * af(ls - 1))[None, :]
+    i = np.arange(n)
+    mats[:, i, i] = diag
+    j = np.arange(n - 1)
+    mats[:, j + 1, j] = c2s[:, None] * (af(ls[:-1]) * af(ls[:-1] + 1))[None]
+    mats[:, j, j + 1] = c2s[:, None] * (bf(ls[:-1] + 2)
+                                        * bf(ls[:-1] + 1))[None]
+    ev = np.sort(np.linalg.eigvals(mats).real, axis=1)[:, ::-1]
+    return -ev[:, branch]
+
+
+def _radial_condition_vec(es: np.ndarray, d: float, a_seps: np.ndarray,
+                          m: int, n_terms: int) -> np.ndarray:
+    """Vectorised homogeneous Jaffe condition over a batch of E values
+    sharing one series length (the sign consistency requirement): the
+    backward recurrence runs ONCE with numpy vector ops — n_terms Python
+    iterations total instead of n_terms * len(es)."""
+    es = np.asarray(es, np.float64)
+    c = d * np.sqrt(-es / 2.0)
+    doc = d / c
+    sig = doc - m - 1.0
+    base = (-a_seps + 2.0 * d - c * c - 2.0 * c * m + m * m + m
+            + (m + 1.0) * sig)
+
+    def beta(n):
+        return base - 2.0 * c * (2.0 * n + 1.0) + 2.0 * n * sig \
+            - 2.0 * n * n
+
+    p = 1.0 - 2.0 * np.sqrt(c / n_terms)
+    q = np.ones_like(p)
+    for n in range(n_terms, 0, -1):
+        p, q = (-((n + m - doc) * (n - doc)) * q,
+                beta(n) * q + (n + 1.0) * (n + m + 1.0) * p)
+        if n % 8 == 0:
+            # per-step growth can reach ~n^2 (beta_n ~ -2n^2), so the
+            # window between rescale checks must stay well clear of the
+            # float64 overflow ceiling: 8 steps x 1e11 growth < 1e100
+            s = np.abs(p) + np.abs(q)
+            bad = (s > 1e100) | (s < 1e-100)
+            if bad.any():
+                p = np.where(bad, p / s, p)
+                q = np.where(bad, q / s, q)
+    return beta(0) * q + (m + 1.0) * p
+
+
 def _radial_condition(e: float, d: float, a_sep: float, m: int = 0,
                       n_terms: int | None = None) -> float:
     """Jaffe minimal-solution condition f(E) = beta_0 + alpha_0 r_0; a root
@@ -181,29 +238,47 @@ def _find_bracket(d: float, parity: int, lo: float, hi: float,
                   n_scan: int, branch: int = 0,
                   n_root: int = 0, m: int = 0) -> tuple[float, float] | None:
     """Bracket of the ``n_root``-th genuine sign change of the eigenvalue
-    condition on [lo, hi] (scanning upward: j-th root = j radial nodes)."""
+    condition on [lo, hi] (scanning upward: j-th root = j radial nodes).
+
+    The homogeneous condition (see _radial_condition) is pole-free, so at
+    fixed n_terms EVERY sign change is a genuine eigenvalue — no magnitude
+    or crossing-direction heuristics needed (the scalar CF form had poles
+    that could mask roots; fixed for the 3ssg root at D=4, where pole and
+    root sat ~2 mHa apart). The scan is VECTORISED per n_terms ladder
+    group (batched angular eigvals + one vector backward recurrence per
+    group) and processes groups low-E-first with early exit, so the
+    expensive large-n_terms tail toward E -> 0 is only computed when the
+    root actually lies there."""
     es = np.linspace(lo, hi, n_scan)
-    nt_prev = _quantized_n_terms(d, es[0])
-    f_prev = _eigencondition(es[0], d, parity, branch, m, nt_prev)
+    nts = np.array([_quantized_n_terms(d, e) for e in es])
+    a_seps = _angular_eigenvalues_vec(-es * d * d / 2.0, parity,
+                                      branch=branch, m=m)
     seen = 0
-    for i, e in enumerate(es[1:]):
-        nt = _quantized_n_terms(d, e)
-        if nt != nt_prev:
-            # re-anchor the left endpoint at the new series length so the
-            # sign pair below is length-consistent
-            f_prev = _eigencondition(es[i], d, parity, branch, m, nt)
-            nt_prev = nt
-        f = _eigencondition(e, d, parity, branch, m, nt)
-        # The homogeneous condition (see _radial_condition) is pole-free,
-        # so at fixed n_terms EVERY sign change is a genuine eigenvalue —
-        # no magnitude or crossing-direction heuristics needed (the scalar
-        # CF form had poles that could mask roots; fixed for the 3ssg root
-        # at D=4, where pole and root sat ~2 mHa apart).
-        if np.isfinite(f) and np.isfinite(f_prev) and f_prev * f < 0.0:
-            if seen == n_root:
-                return (es[i], e)
-            seen += 1
-        f_prev = f
+    f_prev = None          # last point of the previous group, at ITS nt
+    i0 = 0
+    # nt is monotone non-decreasing along es (c decreases toward E -> 0),
+    # so the groups are contiguous
+    while i0 < n_scan:
+        nt = int(nts[i0])
+        i1 = i0
+        while i1 < n_scan and nts[i1] == nt:
+            i1 += 1
+        f = _radial_condition_vec(es[i0:i1], d, a_seps[i0:i1], m, nt)
+        if i0 > 0:
+            # re-anchor the previous group's last point at THIS group's
+            # series length so the boundary sign pair is length-consistent
+            f_prev = _radial_condition(float(es[i0 - 1]), d,
+                                       float(a_seps[i0 - 1]), m, nt)
+        for j in range(i1 - i0):
+            fj = f[j]
+            if f_prev is not None and np.isfinite(fj) \
+                    and np.isfinite(f_prev) and f_prev * fj < 0.0:
+                k = i0 + j
+                if seen == n_root:
+                    return (float(es[k - 1]), float(es[k]))
+                seen += 1
+            f_prev = fj
+        i0 = i1
     return None
 
 

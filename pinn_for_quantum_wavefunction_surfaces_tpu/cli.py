@@ -58,6 +58,10 @@ def _build_cfg(args) -> "object":
                               getattr(args, "remat", False) or None))
            if v is not None})
     domain = cfg.domain
+    if getattr(args, "dom_r_lo", None) is not None:
+        domain = dataclasses.replace(domain, r_lo=args.dom_r_lo)
+    if getattr(args, "dom_r_hi", None) is not None:
+        domain = dataclasses.replace(domain, r_hi=args.dom_r_hi)
     if getattr(args, "fixed_r", None) is not None:
         domain = dataclasses.replace(domain, fixed_r=args.fixed_r)
     if getattr(args, "sampler", None):
@@ -120,6 +124,12 @@ def _add_common(p, train=False):
                         "transverse factor Re[(y+iz)^m] — e.g. "
                         "'--m-abs 1' targets 2p pi_u, '--m-abs 1 --state "
                         "ungerade' 3d pi_g, '--m-abs 2' 3d delta_g")
+    p.add_argument("--r-lo", type=float, dest="dom_r_lo",
+                   help="half-distance domain lower edge (default 0.2)")
+    p.add_argument("--r-hi", type=float, dest="dom_r_hi",
+                   help="half-distance domain upper edge (default 4.0; "
+                        "extend for excited-state wells, which sit near "
+                        "D = 2R ~ 8-18)")
     if train:
         p.add_argument("--arch", default="symmetric",
                        choices=["symmetric", "minimal", "separable"])

@@ -702,7 +702,7 @@ def train_variational(cfg: Config,
         return jax.lax.scan(step, state, None, length=k)
 
     chunk = jax.jit(chunk, static_argnums=1)
-    hist_l, hist_e = [], []
+    hist_l, hist_e, hist_h = [], [], []
     n_done = 0
     t0 = time.perf_counter()
     while n_done < epochs:
@@ -711,12 +711,19 @@ def train_variational(cfg: Config,
         n_done += k
         hist_l.append(np.asarray(ls))
         hist_e.append(np.asarray(es))
+        hist_h.append(np.asarray(lh))
         if log_cb is not None:
             log_cb(n_done, {"E_mean": float(es[-1]), "l_head": float(lh[-1])})
     runtime = time.perf_counter() - t0
-    history = {"Ltot": np.concatenate(hist_l),
-               "Lpde": np.concatenate(hist_l),
-               "Lbc": np.zeros(epochs),
+    # reference pickle schema keys (utils/metrics.py): Ltot is the full
+    # objective; the variational loss has no pde/bc split, so Lpde carries
+    # the QUOTIENT part (objective minus the E-head MSE term) and Lbc the
+    # head-fit term — two genuinely distinct, informative series
+    l_tot = np.concatenate(hist_l)
+    l_head = np.concatenate(hist_h)
+    history = {"Ltot": l_tot,
+               "Lpde": l_tot - l_head,
+               "Lbc": l_head,
                "Energy": np.concatenate(hist_e)}
     return engine.TrainResult(
         state=state,
