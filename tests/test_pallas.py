@@ -17,7 +17,7 @@ def test_kernel_matches_fwdlap(p_sym):
     cfg = pqs.Config(model=pqs.ModelConfig(inversion_symmetry=p_sym))
     params = ansatz.init_params(jax.random.PRNGKey(0), cfg.model, jnp.float32)
     k = jax.random.split(jax.random.PRNGKey(1), 4)
-    n = 2500  # not a multiple of the (8, 128) tile -> exercises padding
+    n = 1100  # not a multiple of the (8, 128) tile -> exercises padding
     x = jax.random.uniform(k[0], (n,), jnp.float32, -6, 6)
     y = jax.random.uniform(k[1], (n,), jnp.float32, -6, 6)
     z = jax.random.uniform(k[2], (n,), jnp.float32, -6, 6)

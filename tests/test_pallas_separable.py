@@ -34,7 +34,7 @@ def _model(p_sym=1, dtype=jnp.float64, seed=0, hidden=16):
     return mcfg, params
 
 
-def _points(n=2500, dtype=jnp.float64, seed=1):
+def _points(n=1100, dtype=jnp.float64, seed=1):
     k = jax.random.split(jax.random.PRNGKey(seed), 4)
     x = jax.random.uniform(k[0], (n,), dtype, -6, 6)
     y = jax.random.uniform(k[1], (n,), dtype, -6, 6)
@@ -64,7 +64,7 @@ def test_loss_gradients_match_xla(p_sym):
     mcfg, params = _model(p_sym, hidden=4)
     cfg = pqs.smoke_config(dtype="float64")
     cfg = dataclasses.replace(cfg, model=mcfg)
-    batch = sample_batch(jax.random.PRNGKey(3), cfg, n=1024)
+    batch = sample_batch(jax.random.PRNGKey(3), cfg, n=512)
 
     cfg_p = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, kernel="pallas"))

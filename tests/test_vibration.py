@@ -63,3 +63,26 @@ def test_pinn_table_matches_exact_oracle_levels():
     lv_or = vib.levels_from_table(t_or, n_levels=3)
     lv = vib.levels_from_table(etab.load_table(ART), n_levels=3)
     np.testing.assert_allclose(lv, lv_or, rtol=0, atol=1e-6)
+
+
+def test_j_ladder_matches_oracle_rovibrational():
+    """J-RESOLVED rovibrational ladder from the PINN table vs the exact
+    oracle curve (same FD solver, same J): the centrifugal term
+    J(J+1)/(2 mu D^2) rides on the tabulated potential, so table accuracy
+    must carry through at every J — and the B-rotational ordering
+    E(v=0,J) must be increasing and roughly linear in J(J+1)."""
+    if not os.path.exists(ART):
+        pytest.skip("flagship evaluated artifact not present")
+    t_or = vib.oracle_table("1ssg", n_knots=60)
+    table = etab.load_table(ART)
+    e0 = []
+    for j in (1, 5, 10):
+        lv_or = vib.levels_from_table(t_or, n_levels=2, j=j)
+        lv = vib.levels_from_table(table, n_levels=2, j=j)
+        np.testing.assert_allclose(lv, lv_or, rtol=0, atol=1e-6)
+        e0.append(lv[0])
+    # rotational ordering and near-linearity in J(J+1)
+    assert e0[0] < e0[1] < e0[2]
+    b1 = (e0[1] - e0[0]) / (30 - 2)    # J(J+1): 2, 30, 110
+    b2 = (e0[2] - e0[1]) / (110 - 30)
+    assert abs(b2 / b1 - 1.0) < 0.1    # centrifugal distortion is small
