@@ -141,8 +141,9 @@ def test_pi_polish_converges_to_2ppu():
 
 def test_pi_2ppu_artifact_regression():
     """Golden regression on the shipped 2p pi_u artifact (the pi-sector
-    minimum — no deflation; wide alpha head): E_int within 0.03 mHa of
-    the exact ODE oracle at probe Rs, every one variationally positive."""
+    minimum — no deflation; wide alpha head; 96x64 dense continuation):
+    E_int within 0.005 mHa of the exact ODE oracle at probe Rs, every one
+    variationally positive."""
     import os
     from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
         as aen
@@ -163,7 +164,7 @@ def test_pi_2ppu_artifact_regression():
     for ri, ex in zip(r_probe, exact):
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
-        assert -1e-3 <= err_mha <= 0.03, (ri, err_mha)
+        assert -1e-3 <= err_mha <= 0.005, (ri, err_mha)
 
 
 def test_pi_3dpg_artifact_regression():
