@@ -96,6 +96,11 @@ excited-3dpg:
 # The two n<=3 completion states (round 4): 3p pi_u composes the pi-sector
 # transverse factor with xi-node deflation against 2ppu; 3s sigma_g is the
 # third gerade-sigma radial state — double xi-node + 3-reference deflation.
+# NOTE (deflation floor): a deflated state inherits the REFERENCE artifact's
+# own wavefunction error squared as a one-sided energy floor — deflate
+# against the dense-polished 2ppu (the shipped artifacts/pi_2ppu.npz is);
+# the shipped 3ppu re-deflated after the reference was polished
+# (0.0133 -> 0.0005 mHa dip at R=0.2).
 excited-3ppu:
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
 	  variational --out runs/pi_3ppu --arch separable --m-abs 1 --wide-alpha \

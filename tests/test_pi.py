@@ -232,8 +232,10 @@ def test_pi_3ppu_artifact_regression():
     """Golden regression on the shipped 3p pi_u artifact — the n<=3
     completion state of the pi_u sector and the first COMPOSITION of the
     transverse m-factor with xi-node deflation (deflated against 2ppu):
-    E_int within 0.05 mHa of the exact ODE oracle at probe Rs, every one
-    variationally positive."""
+    E_int within 0.005 mHa of the exact ODE oracle at probe Rs (the
+    shipped re-deflation against the dense-polished 2ppu lands at
+    0.0014 mHa mean / 0.0027 max), each within the one-sided deflation
+    floor (-1e-3 mHa) of variationally positive."""
     import os
     from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
         as aen
@@ -255,4 +257,4 @@ def test_pi_3ppu_artifact_regression():
     for ri, ex in zip(r_probe, exact):
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
-        assert -1e-3 <= err_mha <= 0.05, (ri, err_mha)
+        assert -1e-3 <= err_mha <= 0.005, (ri, err_mha)
