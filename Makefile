@@ -131,6 +131,26 @@ excited-3ddg:
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
 	  evaluate runs/delta_3ddg/variational.npz --dtype float64
 
+# Round-4 spectroscopy artifact: the 2p pi_u surface EXTENDED over its
+# shallow van-der-Waals-like well (minimum near D ~ 8, i.e. R ~ 4 — the
+# edge of the standard [0.2, 4] domain; D_e ~ 9.5 mHa, ~280 cm^-1
+# fundamental). Warm-resumes the shipped dense-polished artifact on
+# R in [1.5, 8] so `cli vibrations` can solve the nuclear problem of an
+# EXCITED electronic surface (VERDICT round-3 item 5). Sector minimum —
+# no deflation needed at any R.
+excited-2ppu-well:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational artifacts/pi_2ppu.npz --out runs/pi_2ppu_well \
+	  --arch separable --m-abs 1 --wide-alpha --spheroidal \
+	  --r-lo 1.5 --r-hi 8 \
+	  --adam-warmup 500 --lbfgs 800 --lbfgs-memory 50 \
+	  --n-r 40 --n-xi 48 --n-eta 32 --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/pi_2ppu_well/variational.npz --dtype float64 \
+	  --r-lo 1.5 --r-hi 8
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  vibrations runs/pi_2ppu_well/evaluated.npz --n-levels 3
+
 # Per-R variational-floor study for both ansatz families (39 Rs each,
 # figure -> artifacts/figures/dispersion.pdf; ~1.5 h on this 1-core host)
 dispersion:

@@ -65,6 +65,36 @@ def test_pinn_table_matches_exact_oracle_levels():
     np.testing.assert_allclose(lv, lv_or, rtol=0, atol=1e-6)
 
 
+ART_2PPU_WELL = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                             "pi_2ppu_well.npz")
+
+
+def test_excited_2ppu_well_spectroscopy_matches_oracle():
+    """EXCITED-state spectroscopy (round-4): the 2p pi_u surface has a
+    shallow well near D ~ 8 (D_e ~ 9.5 mHa, the edge of the standard
+    R domain) — the extended-domain artifact's table must reproduce the
+    exact ODE oracle's nuclear levels for v = 0..2, like the ground test
+    above. The dissociation asymptote is H(n=2) = -0.125, not -0.5."""
+    if not os.path.exists(ART_2PPU_WELL):
+        pytest.skip("extended 2ppu well artifact not present")
+    table = etab.load_table(ART_2PPU_WELL)
+    t_or = vib.oracle_table("2ppu", r_lo=float(table["R"][0]),
+                            r_hi=float(table["R"][-1]), n_knots=60)
+    lv_or = vib.levels_from_table(t_or, n_levels=3)
+    lv = vib.levels_from_table(table, n_levels=3)
+    np.testing.assert_allclose(lv, lv_or, rtol=0, atol=1e-6)
+    s = vib.summarize(lv, asymptote=vib.dissociation_asymptote("2ppu"))
+    # bound well: D0 > 0 against the H(2p) limit; soft fundamental
+    assert 0.0 < s["D0_Ha"] < 0.01, s
+    assert 100.0 < s["spacings_cm1"][0] < 400.0, s
+    # J-resolved ladder on the EXCITED surface (shallow well, large D_e
+    # distance -> small B; still must match the oracle per J)
+    for j in (1, 5):
+        lv_or_j = vib.levels_from_table(t_or, n_levels=2, j=j)
+        lv_j = vib.levels_from_table(table, n_levels=2, j=j)
+        np.testing.assert_allclose(lv_j, lv_or_j, rtol=0, atol=1e-6)
+
+
 def test_j_ladder_matches_oracle_rovibrational():
     """J-RESOLVED rovibrational ladder from the PINN table vs the exact
     oracle curve (same FD solver, same J): the centrifugal term
