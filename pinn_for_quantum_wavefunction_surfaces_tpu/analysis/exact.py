@@ -74,6 +74,16 @@ STATE_INDEX = {
     "3dpg": (1, -1, 0, 0),
     "3ppu": (1, 1, 0, 1),
     "3ddg": (2, 1, 0, 0),
+    # n = 4 shell, first entry (round-4 stretch): 4f sigma_u is the first
+    # state of the SECOND ungerade angular branch (l = 3 at c = 0) — the
+    # famous diabatic partner of 2psu that correlates He+(4f, -0.125)
+    # with H(n=2, -0.125): united- and separated-atom limits coincide.
+    "4fsu": (0, -1, 1, 0),
+    # ... and 4f phi_u, the m = 3 sector MINIMUM (trainable without
+    # deflation, like 2ppu/3ddg): united atom He+(4f), separated atom
+    # H(n=4) (m = 3 needs l >= 3). Total parity u = gerade envelope *
+    # (-1)^3.
+    "4fpu": (3, 1, 0, 0),
 }
 STATES = tuple(STATE_INDEX)
 
@@ -81,7 +91,8 @@ STATES = tuple(STATE_INDEX)
 # He+ level -Z^2/2n^2 with margin; the m = 0 sectors keep their historical
 # wider windows — 2psu famously dips BELOW its united-atom level, to
 # -0.6675 at D = 2, so windows are per-state data, not derivable from n).
-_SCAN_LO = {"2ppu": -0.7, "3dpg": -0.6, "3ppu": -0.7, "3ddg": -0.6}
+_SCAN_LO = {"2ppu": -0.7, "3dpg": -0.6, "3ppu": -0.7, "3ddg": -0.6,
+            "4fpu": -0.3}
 
 
 def angular_eigenvalue(c2: float, parity: int, n_basis: int = 60,

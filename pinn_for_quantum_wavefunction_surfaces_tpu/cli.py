@@ -424,7 +424,7 @@ def cmd_variational(args) -> None:
         sector = {(0, 1): ["1ssg", "2ssg", "3dsg", "3ssg"],
                   (0, -1): ["2psu", "3psu"],
                   (1, 1): ["2ppu", "3ppu"], (1, -1): ["3dpg"],
-                  (2, 1): ["3ddg"]}.get(
+                  (2, 1): ["3ddg"], (3, 1): ["4fpu"]}.get(
             (cfg.model.m_abs, cfg.model.inversion_symmetry), [])
         if cfg.model.m_abs:
             meta["m_abs"] = cfg.model.m_abs
@@ -490,7 +490,8 @@ def cmd_evaluate(args) -> None:
                     m_abs=int(ck_meta["m_abs"])))
     if state is None:
         if cfg.model.m_abs:
-            state = {(1, 1): "2ppu", (1, -1): "3dpg", (2, 1): "3ddg"}[
+            state = {(1, 1): "2ppu", (1, -1): "3dpg", (2, 1): "3ddg",
+                     (3, 1): "4fpu"}[
                 (cfg.model.m_abs, cfg.model.inversion_symmetry)]
         else:
             state = "2psu" if cfg.model.inversion_symmetry < 0 else "1ssg"
@@ -829,7 +830,8 @@ def main(argv=None) -> None:
                         "certificate; repeatable)")
     p.add_argument("--target-state", dest="target_state",
                    choices=["1ssg", "2psu", "2ssg", "3dsg", "3psu", "3ssg",
-                            "2ppu", "3dpg", "3ppu", "3ddg"],
+                            "2ppu", "3dpg", "3ppu", "3ddg", "4fsu",
+                            "4fpu"],
                    help="exact-oracle state to score against (default: "
                         "inferred from --state: gerade -> 1ssg, ungerade -> "
                         "2psu; deflation-trained excited checkpoints score "

@@ -273,3 +273,111 @@ def test_guess_and_scan_paths_agree():
     exact._exact_cached.cache_clear()
     e_scan = exact.exact_electronic_energy(1.3, "1ssg")
     assert abs(e_guided - e_scan) < 1e-11
+
+
+def test_n4_stretch_state_4fsu():
+    """4f sigma_u — the first n = 4 state (round-4 stretch): the second
+    ungerade angular branch (l = 3 at c = 0). Its united-atom He+(4f)
+    and separated-atom H(n=2) limits COINCIDE at -1/8, and the large-D
+    tail must follow the downhill linear-Stark expansion of the n = 2
+    manifold, E ~ -1/8 - 1/D - 3/D^2 (charge-monopole + first Stark
+    term) — a sharp, parameter-free asymptotic check. Cross-validated
+    against the independent Rayleigh-Ritz bound below (4fsu is ev[3] of
+    the ungerade m = 0 spectrum: 4p sigma_u, branch 0 root 2, sits just
+    BELOW it at D = 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    assert abs(exact.exact_electronic_energy(0.01, "4fsu") - (-0.125)) < 2e-4
+    e30 = exact.exact_electronic_energy(15.0, "4fsu")   # D = 30
+    assert abs(e30 - (-0.125 - 1 / 30.0 - 3 / 900.0)) < 5e-4
+
+    r_half = 1.0
+    # the diffuse n = 4 state needs the bigger box (45) for the Ritz
+    # bound to stay variationally honest on the quadrature grid
+    x, rho, w = aen.spheroidal_grid(r_half, 72, 56, 45.0)
+    x, rho = jnp.asarray(x), jnp.asarray(rho)
+
+    def basis(pt, j, k, alpha):
+        xx, yy, zz = pt
+        r1 = jnp.sqrt((xx - r_half) ** 2 + yy ** 2 + zz ** 2)
+        r2 = jnp.sqrt((xx + r_half) ** 2 + yy ** 2 + zz ** 2)
+        xi = (r1 + r2) / (2 * r_half)
+        eta = (r1 - r2) / (2 * r_half)
+        f = xi ** j * jnp.exp(-alpha * r_half * (xi - 1.0)) * eta ** (2 * k)
+        return f * eta
+
+    def column(j, k, alpha):
+        f = lambda pt: basis(pt, j, k, alpha)
+        lap = lambda pt: jnp.trace(jax.hessian(f)(pt))
+        pts = jnp.stack([x, rho, jnp.zeros_like(x)], -1)
+        psi = jax.vmap(f)(pts)
+        r1 = jnp.sqrt((x - r_half) ** 2 + rho ** 2)
+        r2 = jnp.sqrt((x + r_half) ** 2 + rho ** 2)
+        hpsi = -0.5 * jax.vmap(lap)(pts) + (-1 / r1 - 1 / r2) * psi
+        return np.asarray(psi), np.asarray(hpsi)
+
+    from scipy.linalg import eigh
+    # two exponents: 0.9 anchors the compact 2psu/3psu, 0.35 the diffuse
+    # n = 4 pair — one exponent cannot resolve ev[2]/ev[3] (11 mHa apart)
+    cols = [column(j, k, a) for a in (0.35, 0.9)
+            for j in range(5) for k in range(4)]
+    p = np.stack([c[0] for c in cols])
+    hp = np.stack([c[1] for c in cols])
+    s_mat = (p * w) @ p.T
+    h_mat = (p * w) @ hp.T
+    ev = eigh(0.5 * (h_mat + h_mat.T), s_mat, eigvals_only=True)
+    for i, st in ((0, "2psu"), (1, "3psu"), (3, "4fsu")):
+        gap = ev[i] - exact.exact_electronic_energy(r_half, st)
+        assert -1e-9 < gap < 5e-4, (st, gap)
+
+
+def test_n4_phi_sector_minimum_4fpu():
+    """4f phi_u — the m = 3 sector minimum (the n = 4 analog of
+    2ppu/3ddg: lowest in its sector, so trainable without deflation).
+    United-atom He+(4f) = -0.125; separated-atom H(n=4) with the
+    monopole tail (m = 3 has no linear Stark term: n1 = n2 = 0);
+    independent Rayleigh-Ritz upper bound as ev[0] of the m = 3
+    spectrum (transverse factor y^3 on the z = 0 half-plane)."""
+    import jax
+    import jax.numpy as jnp
+
+    assert abs(exact.exact_electronic_energy(0.01, "4fpu") - (-0.125)) < 1e-4
+    e60 = exact.exact_electronic_energy(30.0, "4fpu")   # D = 60
+    assert abs(e60 - (-0.5 / 16 - 1 / 60.0)) < 5e-4
+
+    r_half = 1.0
+    x, rho, w = aen.spheroidal_grid(r_half, 64, 48, 40.0)
+    x, rho = jnp.asarray(x), jnp.asarray(rho)
+
+    def basis(pt, j, k):
+        xx, yy, zz = pt
+        r1 = jnp.sqrt((xx - r_half) ** 2 + yy ** 2 + zz ** 2)
+        r2 = jnp.sqrt((xx + r_half) ** 2 + yy ** 2 + zz ** 2)
+        xi = (r1 + r2) / (2 * r_half)
+        eta = (r1 - r2) / (2 * r_half)
+        f = xi ** j * jnp.exp(-0.45 * r_half * (xi - 1.0)) * eta ** (2 * k)
+        # the HARMONIC m = 3 factor Re[(y+iz)^3] — plain y^3 would mix in
+        # an m = 1 component (sin^3 = (3 sin - sin3)/4) and ev[0] would
+        # be the pi-sector minimum instead
+        return f * (yy ** 3 - 3.0 * yy * zz ** 2)
+
+    def column(j, k):
+        f = lambda pt: basis(pt, j, k)
+        lap = lambda pt: jnp.trace(jax.hessian(f)(pt))
+        pts = jnp.stack([x, rho, jnp.zeros_like(x)], -1)
+        psi = jax.vmap(f)(pts)
+        r1 = jnp.sqrt((x - r_half) ** 2 + rho ** 2)
+        r2 = jnp.sqrt((x + r_half) ** 2 + rho ** 2)
+        hpsi = -0.5 * jax.vmap(lap)(pts) + (-1 / r1 - 1 / r2) * psi
+        return np.asarray(psi), np.asarray(hpsi)
+
+    from scipy.linalg import eigh
+    cols = [column(j, k) for j in range(5) for k in range(3)]
+    p = np.stack([c[0] for c in cols])
+    hp = np.stack([c[1] for c in cols])
+    s_mat = (p * w) @ p.T
+    h_mat = (p * w) @ hp.T
+    ev = eigh(0.5 * (h_mat + h_mat.T), s_mat, eigvals_only=True)
+    gap = ev[0] - exact.exact_electronic_energy(r_half, "4fpu")
+    assert -1e-9 < gap < 5e-4, gap
