@@ -5,7 +5,7 @@ CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
 .PHONY: test bench train evaluate dryrun pallas-ab dispersion ref-recipe \
 	excited-2ssg excited-3psu excited-3dsg excited-2ppu excited-3dpg \
-	excited-3ddg
+	excited-3ddg excited-4fpu excited-2ppu-well
 
 test:
 	$(CPU_ENV) python -m pytest tests/ -q
@@ -130,6 +130,17 @@ excited-3ddg:
 	  --n-r 39 --n-xi 40 --n-eta 24 --dtype float64
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
 	  evaluate runs/delta_3ddg/variational.npz --dtype float64
+
+# Round-4 stretch: the first n = 4 surface. 4f phi_u is the m = 3 (phi)
+# sector minimum — same no-deflation recipe as 2ppu/3ddg; the harmonic
+# transverse factor Re[(y+iz)^3] carries the exact azimuthal structure.
+excited-4fpu:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/phi_4fpu --arch separable --m-abs 3 --wide-alpha \
+	  --spheroidal --adam-warmup 1500 --lbfgs 800 \
+	  --n-r 39 --n-xi 40 --n-eta 24 --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/phi_4fpu/variational.npz --dtype float64
 
 # Round-4 spectroscopy artifact: the 2p pi_u surface EXTENDED over its
 # shallow van-der-Waals-like well (minimum near D ~ 8, i.e. R ~ 4 — the

@@ -258,3 +258,32 @@ def test_pi_3ppu_artifact_regression():
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
         assert -1e-3 <= err_mha <= 0.005, (ri, err_mha)
+
+
+def test_phi_4fpu_artifact_regression():
+    """Golden regression on the shipped 4f phi_u artifact — the FIRST
+    n = 4 surface and the phi (|m| = 3) sector minimum: gerade envelope x
+    Re[(y+iz)^3], wide alpha head, no deflation (lowest in sector).
+    E_int within 0.05 mHa of the exact ODE oracle at probe Rs, every one
+    variationally positive."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "phi_4fpu.npz")
+    if not os.path.exists(path):
+        pytest.skip("4fpu artifact not present")
+    params, meta = checkpoint.load_params(path)
+    assert meta["target_state"] == "4fpu" and meta["m_abs"] == 3
+    params = params.get("params", params)
+    params = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+              for k, v in params.items()}
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable", m_abs=3))
+    r_probe = np.array([0.2, 1.0, 2.0, 4.0])
+    exact = aen.exact_energy_ode(r_probe, state="4fpu")
+    for ri, ex in zip(r_probe, exact):
+        e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
+        err_mha = 1e3 * (e - ex)
+        assert -1e-3 <= err_mha <= 0.05, (ri, err_mha)
