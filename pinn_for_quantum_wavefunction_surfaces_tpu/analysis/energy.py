@@ -112,7 +112,7 @@ def spheroidal_grid(c: float, n_xi: int, n_eta: int,
 def rayleigh_quotient_spheroidal(params, cfg: Config, ri: float,
                                  n_xi: int = 96, n_eta: int = 96,
                                  which: str = "model",
-                                 xi_span: float = 20.0) -> float:
+                                 xi_span: float | None = None) -> float:
     """Rayleigh quotient in prolate-spheroidal coordinates — the EXACT
     coordinate system of the two-centre problem.
 
@@ -134,6 +134,8 @@ def rayleigh_quotient_spheroidal(params, cfg: Config, ri: float,
             "spheroidal quadrature assumes the nuclei on the x-axis "
             "(sigma symmetry); use the Cartesian grids for ry/rz != 0")
     dtype = jnp.result_type(*jax.tree.leaves(params))
+    if xi_span is None:
+        xi_span = getattr(cfg.domain, "xi_span", 20.0)
     x, rho, w2d = spheroidal_grid(float(ri), n_xi, n_eta, xi_span)
 
     xf = jnp.asarray(x, dtype)

@@ -103,7 +103,7 @@ def _hf_integral(params, cfg: Config, ri, n: int, scheme: str,
 def denergy_dr_hf_spheroidal(params, cfg: Config, ri: float,
                              n_xi: int = 128, n_eta: int = 128,
                              total: bool = True,
-                             xi_span: float = 20.0) -> float:
+                             xi_span: float | None = None) -> float:
     """Hellmann-Feynman dE/dR on the prolate-spheroidal Gauss grid.
 
     The Cartesian HF integrand psi^2 (x -+ R)/r^3 needs singularity
@@ -119,6 +119,8 @@ def denergy_dr_hf_spheroidal(params, cfg: Config, ri: float,
     c = float(ri)
     xi_nodes, xi_w = _np.polynomial.legendre.leggauss(n_xi)
     eta_nodes, eta_w = _np.polynomial.legendre.leggauss(n_eta)
+    if xi_span is None:
+        xi_span = getattr(cfg.domain, "xi_span", 20.0)
     half = 0.5 * xi_span / c
     xi = 1.0 + half * (xi_nodes + 1.0)
     wxi = xi_w * half

@@ -64,6 +64,8 @@ def _build_cfg(args) -> "object":
         domain = dataclasses.replace(domain, r_hi=args.dom_r_hi)
     if getattr(args, "fixed_r", None) is not None:
         domain = dataclasses.replace(domain, fixed_r=args.fixed_r)
+    if getattr(args, "xi_span", None) is not None:
+        domain = dataclasses.replace(domain, xi_span=args.xi_span)
     if getattr(args, "sampler", None):
         domain = dataclasses.replace(domain, sampler=args.sampler)
     for k in ("focus_frac", "focus_scale", "focus_floor"):
@@ -130,6 +132,11 @@ def _add_common(p, train=False):
                    help="half-distance domain upper edge (default 4.0; "
                         "extend for excited-state wells, which sit near "
                         "D = 2R ~ 8-18)")
+    p.add_argument("--xi-span", type=float, dest="xi_span",
+                   help="prolate-spheroidal quadrature extent in bohr "
+                        "(default 20; diffuse wide-alpha states — n >= 4 "
+                        "shells — need ~40 for variationally honest "
+                        "quotients, see DomainConfig.xi_span)")
     if train:
         p.add_argument("--arch", default="symmetric",
                        choices=["symmetric", "minimal", "separable"])
@@ -419,6 +426,10 @@ def cmd_variational(args) -> None:
         else:
             polish = "spheroidal-adam"   # pure warmup run, no L-BFGS phase
         meta = {"polish": polish}
+        if cfg.domain.xi_span != 20.0:
+            # non-default quadrature extent is part of the objective —
+            # record it so `cli evaluate` scores on the same (honest) box
+            meta["xi_span"] = cfg.domain.xi_span
         # known states per (|m|, envelope parity) sector, lowest first —
         # k deflated references target the (k+1)-th state
         sector = {(0, 1): ["1ssg", "2ssg", "3dsg", "3ssg"],
@@ -488,6 +499,12 @@ def cmd_evaluate(args) -> None:
                 cfg, model=dataclasses.replace(
                     cfg.model, arch="separable",
                     m_abs=int(ck_meta["m_abs"])))
+        if getattr(args, "xi_span", None) is None \
+                and (ck_meta or {}).get("xi_span"):
+            # score on the checkpoint's own (honest) quadrature box
+            cfg = dataclasses.replace(
+                cfg, domain=dataclasses.replace(
+                    cfg.domain, xi_span=float(ck_meta["xi_span"])))
     if state is None:
         if cfg.model.m_abs:
             state = {(1, 1): "2ppu", (1, -1): "3dpg", (2, 1): "3ddg",

@@ -127,6 +127,14 @@ class DomainConfig:
     r_lo: float = 0.2        # half-distance range lower bound (RxL)
     r_hi: float = 4.0        # upper bound (RxR); train.py uses 3.0
     cutoff: float = 0.005    # nuclear-singularity clamp (cutOff)
+    # Prolate-spheroidal quadrature extent (ABSOLUTE, bohr): xi covers
+    # r1+r2 up to 2R + 2*xi_span. 20 suffices for alpha >= 0.75 envelopes
+    # (psi^2 < 1e-13 at the edge); DIFFUSE states need more — the wide-alpha
+    # n=4 4f phi_u (alpha ~ 0.3) loses ~1e-3 mHa of tail at 20 and its
+    # evaluated quotient dips BELOW the exact level (measured round 4:
+    # span-20 eval at R=1 read -0.0004 mHa signed; span-40 reads +0.0004,
+    # variationally honest). CLI: --xi-span; recorded in artifact meta.
+    xi_span: float = 20.0
     fixed_r: Optional[float] = None  # per-R ("legacy multi-model") mode: train at one R
     # Collocation measure. "uniform" is the reference's sampler (whole +-box
     # cube — ~99% of which has psi ~ 0). "mixed" draws `focus_frac` of the

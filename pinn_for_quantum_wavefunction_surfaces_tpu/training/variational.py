@@ -252,7 +252,7 @@ def contamination_curve(params: dict, refs, cfg: Config, r_values,
 
 
 def spheroidal_vbatch(cfg: Config, n_r: int = 77, n_xi: int = 48,
-                      n_eta: int = 48, xi_span: float = 20.0,
+                      n_eta: int = 48, xi_span: float | None = None,
                       dtype=None, r_values=None) -> VBatch:
     """DETERMINISTIC quadrature batch: per-R prolate-spheroidal Gauss grids.
 
@@ -271,6 +271,8 @@ def spheroidal_vbatch(cfg: Config, n_r: int = 77, n_xi: int = 48,
         raise NotImplementedError(
             "spheroidal quadrature assumes the nuclei on the x-axis")
     dtype = jnp.dtype(cfg.dtype) if dtype is None else jnp.dtype(dtype)
+    if xi_span is None:
+        xi_span = getattr(cfg.domain, "xi_span", 20.0)
     dom = cfg.domain
     if r_values is None:
         if dom.fixed_r is not None:
@@ -482,7 +484,7 @@ def _coprime_size(n: int, offset: int) -> int:
 
 def polish_spheroidal(params: dict, cfg: Config, n_r: int = 77,
                       n_xi: int = 48, n_eta: int = 48, steps: int = 400,
-                      xi_span: float = 20.0, head_weight: float = 1.0,
+                      xi_span: float | None = None, head_weight: float = 1.0,
                       dual_grid: bool = True, adam_steps: int = 0,
                       warmup_save: Optional[str] = None,
                       mesh=None, log_cb=None,

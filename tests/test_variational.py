@@ -222,3 +222,36 @@ def test_antithetic_importance_weights_unbiased():
     est = float(jnp.sum(w * f)) / x.shape[0]
     exact = float((2 * np.pi) ** 1.5)
     assert abs(est - exact) / exact < 0.02
+
+
+def test_xi_span_config_drives_quadrature_box():
+    """DomainConfig.xi_span (round 4) must flow into BOTH the training
+    vbatch and the evaluation quotient. Physics check on the ground
+    state: the span-20 and span-40 quotients agree to ~1e-10 mHa (the
+    alpha ~ 1 tail is dead by r = 20), so the default stays exact for
+    every compact state while diffuse wide-alpha states (4fpu measured
+    -0.0004 mHa signed at span 20, +0.0004 at 40) get an honest box."""
+    import dataclasses
+
+    import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+    from pinn_for_quantum_wavefunction_surfaces_tpu.models import ansatz
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import \
+        variational
+
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable"))
+    cfg40 = dataclasses.replace(
+        cfg, domain=dataclasses.replace(cfg.domain, xi_span=40.0))
+    vb20 = variational.spheroidal_vbatch(cfg, n_r=2, n_xi=8, n_eta=8)
+    vb40 = variational.spheroidal_vbatch(cfg40, n_r=2, n_xi=8, n_eta=8)
+    assert float(jnp.max(vb40.x)) > 1.5 * float(jnp.max(vb20.x))
+
+    params = ansatz.init_params(jax.random.PRNGKey(0), cfg.model,
+                                jnp.float64)
+    e20 = aen.rayleigh_quotient_spheroidal(params, cfg, 1.0, n_xi=96,
+                                           n_eta=64)
+    e40 = aen.rayleigh_quotient_spheroidal(params, cfg40, 1.0, n_xi=128,
+                                           n_eta=64)
+    assert abs(e20 - e40) < 1e-10, (e20, e40)
