@@ -66,6 +66,8 @@ def _build_cfg(args) -> "object":
         domain = dataclasses.replace(domain, fixed_r=args.fixed_r)
     if getattr(args, "xi_span", None) is not None:
         domain = dataclasses.replace(domain, xi_span=args.xi_span)
+    if getattr(args, "r_cluster", None):
+        domain = dataclasses.replace(domain, r_cluster=args.r_cluster)
     if getattr(args, "sampler", None):
         domain = dataclasses.replace(domain, sampler=args.sampler)
     for k in ("focus_frac", "focus_scale", "focus_floor"):
@@ -137,6 +139,12 @@ def _add_common(p, train=False):
                         "(default 20; diffuse wide-alpha states — n >= 4 "
                         "shells — need ~40 for variationally honest "
                         "quotients, see DomainConfig.xi_span)")
+    p.add_argument("--r-cluster", dest="r_cluster",
+                   choices=["uniform", "log"],
+                   help="R-row layout of the variational objective: 'log' "
+                        "clusters (and so up-weights) rows toward the "
+                        "united-atom end where the surface curvature "
+                        "concentrates the error (DomainConfig.r_cluster)")
     if train:
         p.add_argument("--arch", default="symmetric",
                        choices=["symmetric", "minimal", "separable"])
@@ -430,6 +438,8 @@ def cmd_variational(args) -> None:
             # non-default quadrature extent is part of the objective —
             # record it so `cli evaluate` scores on the same (honest) box
             meta["xi_span"] = cfg.domain.xi_span
+        if cfg.domain.r_cluster != "uniform":
+            meta["r_cluster"] = cfg.domain.r_cluster
         # known states per (|m|, envelope parity) sector, lowest first —
         # k deflated references target the (k+1)-th state
         sector = {(0, 1): ["1ssg", "2ssg", "3dsg", "3ssg"],

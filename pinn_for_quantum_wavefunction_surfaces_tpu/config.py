@@ -135,6 +135,14 @@ class DomainConfig:
     # span-20 eval at R=1 read -0.0004 mHa signed; span-40 reads +0.0004,
     # variationally honest). CLI: --xi-span; recorded in artifact meta.
     xi_span: float = 20.0
+    # R-row layout of the deterministic variational objective. "uniform"
+    # is linspace(r_lo, r_hi, n_r); "log" clusters rows in log(R + 0.3)
+    # like the etab knots — the surface's curvature grows ~(R + 0.3)^-5
+    # toward the united-atom end, and a uniform 39-row grid gives R = 0.2
+    # only 1/39 of the mean objective, which is why the excited surfaces'
+    # errors are R=0.2-dominated (round-4 measurement: 3dsg stuck at
+    # 0.087 mHa there after +400 dense steps on uniform rows).
+    r_cluster: str = "uniform"   # "uniform" | "log"
     fixed_r: Optional[float] = None  # per-R ("legacy multi-model") mode: train at one R
     # Collocation measure. "uniform" is the reference's sampler (whole +-box
     # cube — ~99% of which has psi ~ 0). "mixed" draws `focus_frac` of the

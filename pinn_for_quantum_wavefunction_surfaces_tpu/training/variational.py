@@ -279,6 +279,14 @@ def spheroidal_vbatch(cfg: Config, n_r: int = 77, n_xi: int = 48,
             # one row suffices — duplicating the identical grid n_r times
             # would multiply every optimisation step's cost for nothing
             r_values = np.asarray([dom.fixed_r])
+        elif getattr(dom, "r_cluster", "uniform") == "log":
+            # log(R + 0.3)-clustered rows (the etab knot layout): denser
+            # AND higher-weighted toward the united-atom end, where the
+            # surface curvature ~(R + 0.3)^-5 concentrates the error
+            t = np.linspace(np.log(dom.r_lo + 0.3),
+                            np.log(dom.r_hi + 0.3), n_r)
+            r_values = np.exp(t) - 0.3
+            r_values[0], r_values[-1] = dom.r_lo, dom.r_hi
         else:
             r_values = np.linspace(dom.r_lo, dom.r_hi, n_r)
     r_values = np.asarray(r_values, float)

@@ -255,3 +255,30 @@ def test_xi_span_config_drives_quadrature_box():
     e40 = aen.rayleigh_quotient_spheroidal(params, cfg40, 1.0, n_xi=128,
                                            n_eta=64)
     assert abs(e20 - e40) < 1e-10, (e20, e40)
+
+
+def test_r_cluster_log_rows():
+    """DomainConfig.r_cluster='log' (round 4) lays the variational R rows
+    out in log(R + 0.3) — denser (so higher-weighted in the mean
+    objective) toward the united-atom end — while keeping the exact
+    endpoints. Monotone, endpoint-exact, and strictly denser at small R
+    than uniform."""
+    import dataclasses
+
+    import pinn_for_quantum_wavefunction_surfaces_tpu as pqs
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import \
+        variational
+
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable"))
+    cfl = dataclasses.replace(
+        cfg, domain=dataclasses.replace(cfg.domain, r_cluster="log"))
+    vb_u = variational.spheroidal_vbatch(cfg, n_r=39, n_xi=6, n_eta=6)
+    vb_l = variational.spheroidal_vbatch(cfl, n_r=39, n_xi=6, n_eta=6)
+    ru, rl = np.asarray(vb_u.r), np.asarray(vb_l.r)
+    assert rl[0] == ru[0] == 0.2 and rl[-1] == ru[-1] == 4.0
+    assert np.all(np.diff(rl) > 0)
+    # first interval at least 3x denser than uniform's 0.1
+    assert rl[1] - rl[0] < 0.04
+    # count of rows below R = 1: log layout must have strictly more
+    assert (rl < 1.0).sum() > (ru < 1.0).sum()
