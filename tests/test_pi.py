@@ -169,7 +169,7 @@ def test_pi_2ppu_artifact_regression():
 
 def test_pi_3dpg_artifact_regression():
     """Golden regression on the shipped 3d pi_g artifact (the pi-g sector
-    minimum: UNGERADE envelope x y, wide alpha head): E_int within 0.12
+    minimum: UNGERADE envelope x y, wide alpha head; round-4 dense 96x64 continuation: 0.0048 mHa mean / 0.0249 max): E_int within 0.03
     mHa of the exact ODE oracle at probe Rs, every one variationally
     positive. Also the
     field-tested evaluate-parity trap: scoring this artifact with a gerade
@@ -196,7 +196,7 @@ def test_pi_3dpg_artifact_regression():
     for ri, ex in zip(r_probe, exact):
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
-        assert -1e-3 <= err_mha <= 0.12, (ri, err_mha)
+        assert -1e-3 <= err_mha <= 0.03, (ri, err_mha)
 
 
 def test_delta_3ddg_artifact_regression():
