@@ -162,6 +162,36 @@ excited-2ppu-well:
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
 	  vibrations runs/pi_2ppu_well/evaluated.npz --n-levels 3
 
+# Round-4 dense continuations (the small-R lever run to convergence —
+# VERDICT round-3 item 4): warm-resume a shipped excited artifact on
+# DENSE 96x64 grids with log-clustered R rows (the R = 0.2 end dominates
+# every excited max error; E'''' ~ (R+0.3)^-5) and a fresh 400-step
+# L-BFGS memory. Deflated states re-deflate against the CURRENT shipped
+# references (the deflation-floor rule: polish references before
+# dependents — RESULTS.md round-4). ~25 min each on this 1-core host.
+cont-3psu:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational artifacts/excited_3psu.npz --out runs/cont_3psu \
+	  --arch separable --xi-node --wide-alpha --state ungerade \
+	  --spheroidal --deflate artifacts/ungerade_separable.npz \
+	  --adam-warmup 0 --lbfgs 400 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 96 --n-eta 64 --r-cluster log --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/cont_3psu/variational.npz --state ungerade \
+	  --dtype float64 --target-state 3psu
+
+cont-3dsg:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational artifacts/excited_3dsg.npz --out runs/cont_3dsg \
+	  --arch separable --eta-node --wide-alpha --spheroidal \
+	  --deflate artifacts/flagship_separable.npz \
+	  --deflate artifacts/excited_2ssg.npz \
+	  --adam-warmup 0 --lbfgs 400 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 96 --n-eta 64 --r-cluster log --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/cont_3dsg/variational.npz --dtype float64 \
+	  --target-state 3dsg
+
 # Per-R variational-floor study for both ansatz families (39 Rs each,
 # figure -> artifacts/figures/dispersion.pdf; ~1.5 h on this 1-core host)
 dispersion:

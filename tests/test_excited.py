@@ -326,8 +326,10 @@ def test_pallas_kernel_rejects_node_params():
 
 def test_excited_3psu_artifact_regression():
     """Golden regression on the shipped 3p sigma_u artifact (the SECOND
-    ungerade state, wide-alpha retrain): E_int within 0.12 mHa of the
-    excited ODE oracle at probe Rs, variationally positive, and
+    ungerade state, wide-alpha retrain + dense 96x64 log-clustered
+    continuation, re-deflated against the round-4 2psu): E_int within
+    0.06 mHa of the excited ODE oracle at probe Rs, variationally
+    positive, and
     2p sigma_u contamination below 1e-4 (deflation + overlap-penalty +
     validation-grid-selection certificate)."""
     import os
@@ -352,7 +354,7 @@ def test_excited_3psu_artifact_regression():
     for ri, ex in zip(r_probe, exact):
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
-        assert -1e-3 <= err_mha <= 0.12, (ri, err_mha)
+        assert -1e-3 <= err_mha <= 0.06, (ri, err_mha)
     p0, _ = checkpoint.load_params("artifacts/ungerade_separable.npz")
     p0 = p0.get("params", p0)
     frac = variational.contamination_curve(params, [p0], cfg, [1.0, 4.0],
