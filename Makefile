@@ -168,7 +168,8 @@ excited-2ppu-well:
 # every excited max error; E'''' ~ (R+0.3)^-5) and a fresh 400-step
 # L-BFGS memory. Deflated states re-deflate against the CURRENT shipped
 # references (the deflation-floor rule: polish references before
-# dependents — RESULTS.md round-4). ~25 min each on this 1-core host.
+# dependents — RESULTS.md round-4). Plan ~45 min each on this 1-core host
+# (~10 min f64 96x64 compile, then ~5-7 s/step at k=1 deflation).
 cont-3psu:
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
 	  variational artifacts/excited_3psu.npz --out runs/cont_3psu \

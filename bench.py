@@ -121,12 +121,82 @@ def analytic_flops_per_point(cfg) -> float:
     return 3.0 * fwd + 18.0        # bwd ~ 2x fwd; Adam ~ 18 flops/param<<n
 
 
-# Estimated peak FLOP/s for the roofline denominator. This width-16 model is
-# VPU-bound (elementwise chains on (8,128) vregs; the MXU is idle), so the
-# relevant ceiling is the VECTOR unit: ~1024 lanes x 2 (FMA) x ~1.7 GHz
-# ~ 3.5e12 f32 FLOP/s on a v5e core (estimate — the public spec sheet only
-# quotes MXU peaks: 197e12 bf16 / 394e12 int8). Override with BENCH_PEAK_FLOPS.
-PEAK_FLOPS_F32_VPU = float(os.environ.get("BENCH_PEAK_FLOPS", 3.5e12))
+# Roofline denominator. This width-16 model is VPU-bound (elementwise chains
+# on (8,128) vregs; the MXU is idle), so the relevant ceiling is the VECTOR
+# unit. Round 4's ESTIMATED ceiling (~1024 lanes x FMA x ~1.7 GHz = 3.5e12)
+# produced peak_fraction 1.03 in the driver capture — the denominator was
+# wrong, so round 5 MEASURES it on the same chip with the same sync
+# discipline (measure_vpu_ceilings below): a pure dependent-FMA chain gives
+# the f32 FMA ceiling, a pure tanh chain the transcendental ceiling. The
+# numerator convention is XLA's cost model (a transcendental counts as 1
+# FLOP though it costs multiple VPU cycles), so peak_fraction vs the FMA
+# ceiling UNDERSTATES true utilisation on transcendental-heavy steps — both
+# ceilings are reported so the reader can bound it. Override with
+# BENCH_PEAK_FLOPS; used as a fallback when the ceiling can't be measured.
+PEAK_FLOPS_F32_VPU_FALLBACK = float(os.environ.get("BENCH_PEAK_FLOPS", 3.5e12))
+
+
+def measure_vpu_ceilings(n: int = 1 << 20, iters: int = 2048,
+                         unroll_fma: int = 128, unroll_tanh: int = 16,
+                         repeats: int = 3) -> dict:
+    """Empirical VPU ceilings on the attached chip (VERDICT r4 weak #1).
+
+    Elementwise chains over an n-element f32 array inside one jitted
+    fori_loop. The loop body UNROLLS ``unroll`` dependent steps so XLA
+    fuses them into one kernel: each HBM round trip (8 B/elem) then
+    carries 2*unroll FLOP/elem — arithmetic intensity 32 FLOP/B at
+    unroll=128, an order of magnitude past the HBM roofline knee, so the
+    chain is compute-bound (the first cut did ONE op per round trip and
+    measured HBM bandwidth, not the VPU: 140 GFLOP/s = 560 GB/s).
+    Dependent per element, pipelined across vregs — latency hides;
+    runtime operands so nothing folds. ``iters`` is sized so one run is
+    hundreds of ms of device compute: the remote-PJRT dispatch round
+    trip is ~20 ms, which at the first cut's 5 ms of compute dominated
+    the measurement (579 GF/s, BELOW the train step's own achieved
+    3.59 TF/s).
+
+    - ``fma``: x <- x*a + b, 2 FLOP/elem/step -> the f32 FMA ceiling, the
+      roofline denominator for XLA-cost-model numerators.
+    - ``tanh``: x <- tanh(x*a), 1 transcendental/elem/step -> the
+      transcendental-op ceiling (ops/s, NOT FLOPs/s).
+
+    Same sync discipline as the train-step timing (device->host transfer of
+    a scalar; block_until_ready is lazy on remote PJRT backends).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def time_chain(body, unroll):
+        def step(x, a, b):
+            for _ in range(unroll):
+                x = body(x, a, b)
+            return x
+
+        @jax.jit
+        def run(x, a, b):
+            x = jax.lax.fori_loop(0, iters, lambda i, x: step(x, a, b), x)
+            return x.ravel()[0]
+
+        x = jnp.ones((n,), jnp.float32)
+        a = jnp.float32(0.9999)
+        b = jnp.float32(1e-6)
+        float(np.asarray(run(x, a, b)))  # compile + warmup
+        times = []
+        for _ in range(max(repeats, 1)):
+            t0 = time.perf_counter()
+            float(np.asarray(run(x, a, b)))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    dt_fma = time_chain(lambda x, a, b: x * a + b, unroll_fma)
+    dt_tanh = time_chain(lambda x, a, b: jnp.tanh(x * a), unroll_tanh)
+    return {
+        "fma_flops_per_sec": 2.0 * n * iters * unroll_fma / dt_fma,
+        "tanh_ops_per_sec": float(n) * iters * unroll_tanh / dt_tanh,
+        "n": n, "iters": iters, "unroll_fma": unroll_fma,
+        "unroll_tanh": unroll_tanh,
+    }
 
 
 def measure_torch_baseline(n: int = 10_000, steps: int = 3) -> dict:
@@ -218,6 +288,18 @@ def main() -> None:
                                 repeats=args.repeats, kernel=args.kernel,
                                 remat=args.remat)
 
+    # measured roofline denominator (same chip, same sync discipline);
+    # falls back to the documented estimate if the microbench fails
+    try:
+        ceilings = measure_vpu_ceilings()
+        peak_flops = ceilings["fma_flops_per_sec"]
+        peak_src = "measured_fma_chain"
+    except Exception as exc:
+        print(f"ceiling microbench failed: {exc}", file=sys.stderr)
+        ceilings = None
+        peak_flops = PEAK_FLOPS_F32_VPU_FALLBACK
+        peak_src = "estimate_fallback"
+
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_baseline.json")
     baseline = None
@@ -242,12 +324,20 @@ def main() -> None:
         "unit": "points/s",
         "vs_baseline": round(vs, 2),
         # roofline: this width-16 model is VPU-bound (see RESULTS.md);
-        # peak_fraction is vs the ESTIMATED v5e f32 VPU peak (env
-        # BENCH_PEAK_FLOPS to override), not the headline MXU number
+        # peak_fraction is vs the MEASURED f32 FMA-chain ceiling on this
+        # chip (peak_source; transcendentals count as 1 FLOP in the
+        # numerator per XLA's cost model, so transcendental-heavy steps
+        # UNDERSTATE true utilisation — see ceiling_tanh_gops for the
+        # other bound), not the headline MXU number
         "flops_per_point": round(ours["flops_per_point"], 1),
         "flops_source": ours["flops_source"],
         "achieved_gflops": round(achieved / 1e9, 2),
-        "peak_fraction": round(achieved / PEAK_FLOPS_F32_VPU, 4),
+        "peak_fraction": round(achieved / peak_flops, 4),
+        "peak_source": peak_src,
+        "ceiling_fma_gflops": (round(ceilings["fma_flops_per_sec"] / 1e9, 1)
+                               if ceilings else None),
+        "ceiling_tanh_gops": (round(ceilings["tanh_ops_per_sec"] / 1e9, 1)
+                              if ceilings else None),
         "kernel": ours.get("kernel", "xla"),
         # dispersion over the timed chunks (value = best)
         "value_median": round(ours["points_per_sec_median"], 1),
@@ -263,7 +353,7 @@ def main() -> None:
                 flagship["points_per_sec_median"], 1),
             "flops_per_point": round(flagship["flops_per_point"], 1),
             "achieved_gflops": round(fl_achieved / 1e9, 2),
-            "peak_fraction": round(fl_achieved / PEAK_FLOPS_F32_VPU, 4),
+            "peak_fraction": round(fl_achieved / peak_flops, 4),
         }
     print(json.dumps(out))
 

@@ -84,6 +84,16 @@ STATE_INDEX = {
     # H(n=4) (m = 3 needs l >= 3). Total parity u = gerade envelope *
     # (-1)^3.
     "4fpu": (3, 1, 0, 0),
+    # 4p sigma_u (round 5): THIRD radial state of the first ungerade
+    # angular branch (two xi nodes) — united atom He+(4p, -1/8),
+    # separated atom H(n=3, -1/18) as the UPHILL n = 3 Stark component
+    # (E ~ -1/18 - 1/D + 9/D^2). Its E(R) crosses 4fsu's mid-range (the
+    # separable problem's extra integral of motion permits same-sector
+    # crossings), which is exactly why 4fsu is unreachable by plain
+    # k-deflation: below the crossing the third ungerade state is 4psu,
+    # above it 4fsu. Trained first, 4psu completes the reference list
+    # that makes 4fsu the deflated minimum at EVERY R (DESIGN.md S12).
+    "4psu": (0, -1, 0, 2),
 }
 STATES = tuple(STATE_INDEX)
 

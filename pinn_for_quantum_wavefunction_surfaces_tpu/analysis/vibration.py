@@ -109,7 +109,7 @@ SEPARATED_ATOM_N = {
     "1ssg": 1, "2psu": 1,
     "2ssg": 2, "3dsg": 2, "3psu": 2, "2ppu": 2, "3dpg": 2,
     "3ssg": 3, "3ppu": 3, "3ddg": 3,
-    "4fsu": 2, "4fpu": 4,
+    "4fsu": 2, "4fpu": 4, "4psu": 3,
 }
 
 

@@ -442,8 +442,11 @@ def cmd_variational(args) -> None:
             meta["r_cluster"] = cfg.domain.r_cluster
         # known states per (|m|, envelope parity) sector, lowest first —
         # k deflated references target the (k+1)-th state
+        # NOTE the (0,-1) entry stops being a pure energy ordering past the
+        # 4psu/4fsu crossing at R = 1.933 (test_exact) — for those runs the
+        # explicit --target-state override below is authoritative
         sector = {(0, 1): ["1ssg", "2ssg", "3dsg", "3ssg"],
-                  (0, -1): ["2psu", "3psu"],
+                  (0, -1): ["2psu", "3psu", "4psu", "4fsu"],
                   (1, 1): ["2ppu", "3ppu"], (1, -1): ["3dpg"],
                   (2, 1): ["3ddg"], (3, 1): ["4fpu"]}.get(
             (cfg.model.m_abs, cfg.model.inversion_symmetry), [])
@@ -460,6 +463,10 @@ def cmd_variational(args) -> None:
             # evaluate` scores against the right oracle by default
             if len(deflate_params) < len(sector):
                 meta["target_state"] = sector[len(deflate_params)]
+        if getattr(args, "target_state", None):
+            # explicit override — authoritative where same-sector curve
+            # crossings break the counting inference (n=4 sigma_u)
+            meta["target_state"] = args.target_state
         checkpoint.save(os.path.join(args.out, "variational.npz"),
                         {"params": polished}, meta=meta)
         print(json.dumps({"out": args.out, "polish": polish,
@@ -834,6 +841,14 @@ def main(argv=None) -> None:
                         "deflate k states and target the (k+1)-th "
                         "(e.g. 1ssg + 2ssg -> 3d sigma_g). Requires "
                         "--spheroidal")
+    p.add_argument("--target-state", dest="target_state",
+                   help="record THIS oracle state in the checkpoint meta "
+                        "instead of the sector inference 'k references -> "
+                        "(k+1)-th state'. Needed where same-sector curve "
+                        "crossings break the counting rule (the n=4 "
+                        "sigma_u pair: re-polishing 4psu against "
+                        "{2psu,3psu,4fsu} is k=3 but targets the THIRD "
+                        "radial state, not the branch-1 4fsu)")
     p.set_defaults(fn=cmd_variational)
 
     p = sub.add_parser("evaluate",
@@ -858,7 +873,7 @@ def main(argv=None) -> None:
     p.add_argument("--target-state", dest="target_state",
                    choices=["1ssg", "2psu", "2ssg", "3dsg", "3psu", "3ssg",
                             "2ppu", "3dpg", "3ppu", "3ddg", "4fsu",
-                            "4fpu"],
+                            "4fpu", "4psu"],
                    help="exact-oracle state to score against (default: "
                         "inferred from --state: gerade -> 1ssg, ungerade -> "
                         "2psu; deflation-trained excited checkpoints score "

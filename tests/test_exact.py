@@ -327,9 +327,38 @@ def test_n4_stretch_state_4fsu():
     s_mat = (p * w) @ p.T
     h_mat = (p * w) @ hp.T
     ev = eigh(0.5 * (h_mat + h_mat.T), s_mat, eigvals_only=True)
-    for i, st in ((0, "2psu"), (1, "3psu"), (3, "4fsu")):
+    for i, st in ((0, "2psu"), (1, "3psu"), (2, "4psu"), (3, "4fsu")):
         gap = ev[i] - exact.exact_electronic_energy(r_half, st)
         assert -1e-9 < gap < 5e-4, (st, gap)
+
+
+def test_n4_radial_state_4psu_and_crossing():
+    """4p sigma_u (round 5) — third radial state of the first ungerade
+    branch (two xi nodes): united-atom He+(4p) = -1/8; separated-atom
+    H(n=3) as the UPHILL Stark component, E ~ -1/18 - 1/D + 9/D^2
+    (monopole + linear Stark, n(n1-n2) = +6, F = 1/D^2). Its curve
+    CROSSES 4fsu's (different angular branch — the separable problem's
+    extra integral of motion permits exact same-sector crossings): the
+    oracle pins the crossing at R* = 1.9331 (D* = 3.866), 4psu sitting
+    10.7 mHa BELOW 4fsu at D = 2 and above it at large D. This crossing
+    is why plain k-deflation cannot reach either n = 4 sigma_u state
+    across the whole R range (DESIGN.md S12) — the mutual-deflation
+    recipe (train 4psu k=2, then 4fsu k=3 incl. 4psu, then re-polish
+    4psu k=3 incl. 4fsu) is built on the ordering facts pinned here."""
+    assert abs(exact.exact_electronic_energy(0.01, "4psu") - (-0.125)) < 2e-4
+    e30 = exact.exact_electronic_energy(30.0, "4psu")   # D = 60
+    assert abs(e30 - (-1 / 18.0 - 1 / 60.0 + 9 / 3600.0)) < 5e-4
+
+    gap_d2 = (exact.exact_electronic_energy(1.0, "4fsu")
+              - exact.exact_electronic_energy(1.0, "4psu"))
+    assert abs(gap_d2 * 1e3 - 10.669) < 0.01    # 4psu below at D = 2
+
+    from scipy.optimize import brentq
+    f = lambda r: (exact.exact_electronic_energy(r, "4psu")
+                   - exact.exact_electronic_energy(r, "4fsu"))
+    assert f(1.9) < 0 < f(1.96)                 # bracket of the crossing
+    r_star = brentq(f, 1.9, 1.96, xtol=1e-4)
+    assert abs(r_star - 1.93306) < 5e-4
 
 
 def test_n4_phi_sector_minimum_4fpu():

@@ -364,10 +364,11 @@ def test_excited_3psu_artifact_regression():
 
 def test_excited_3dsg_artifact_regression():
     """Golden regression on the shipped 3d sigma_g artifact (the THIRD
-    gerade state, k=2 deflation against 1ssg + 2ssg): E_int within 2.3 mHa
-    of the excited ODE oracle at probe Rs (R=0.2-dominated: 2.12 mHa
-    there, <=0.4 elsewhere), variationally positive, and frozen-span
-    contamination below 1e-4."""
+    gerade state, k=2 deflation against 1ssg + 2ssg; round-5 dense
+    96x64 log-row continuation): E_int within 0.06 mHa of the excited
+    ODE oracle at probe Rs (R=0.2-dominated: 0.052 there, <=0.02
+    elsewhere), variationally positive, and frozen-span contamination
+    below 1e-4."""
     import os
     from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
         as aen
@@ -389,7 +390,7 @@ def test_excited_3dsg_artifact_regression():
     for ri, ex in zip(r_probe, exact):
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
-        assert -1e-3 <= err_mha <= 0.12, (ri, err_mha)
+        assert -1e-3 <= err_mha <= 0.06, (ri, err_mha)
     refs = []
     for p in ("artifacts/flagship_separable.npz",
               "artifacts/excited_2ssg.npz"):
