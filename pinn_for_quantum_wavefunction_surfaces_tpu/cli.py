@@ -440,6 +440,11 @@ def cmd_variational(args) -> None:
             meta["xi_span"] = cfg.domain.xi_span
         if cfg.domain.r_cluster != "uniform":
             meta["r_cluster"] = cfg.domain.r_cluster
+        if (cfg.domain.r_lo, cfg.domain.r_hi) != (0.2, 4.0):
+            # extended-well runs: the trained R domain is part of the
+            # artifact's identity (evaluate re-scores on it by default)
+            meta["r_lo"] = cfg.domain.r_lo
+            meta["r_hi"] = cfg.domain.r_hi
         # known states per (|m|, envelope parity) sector, lowest first —
         # k deflated references target the (k+1)-th state
         # NOTE the (0,-1) entry stops being a pure energy ordering past the
@@ -522,6 +527,14 @@ def cmd_evaluate(args) -> None:
             cfg = dataclasses.replace(
                 cfg, domain=dataclasses.replace(
                     cfg.domain, xi_span=float(ck_meta["xi_span"])))
+        if getattr(args, "dom_r_lo", None) is None \
+                and getattr(args, "dom_r_hi", None) is None \
+                and (ck_meta or {}).get("r_hi"):
+            # extended-well artifacts re-score on their own R domain
+            cfg = dataclasses.replace(
+                cfg, domain=dataclasses.replace(
+                    cfg.domain, r_lo=float(ck_meta.get("r_lo", 0.2)),
+                    r_hi=float(ck_meta["r_hi"])))
     if state is None:
         if cfg.model.m_abs:
             state = {(1, 1): "2ppu", (1, -1): "3dpg", (2, 1): "3ddg",
@@ -563,6 +576,14 @@ def cmd_evaluate(args) -> None:
         # keep the sector tag on the evaluated artifact too, so it is
         # self-describing for re-evaluation / warm starts
         eval_meta["m_abs"] = cfg.model.m_abs
+    if cfg.domain.xi_span != 20.0:
+        # non-default quadrature box (diffuse n >= 4 tails): without this
+        # a re-evaluation would silently re-score on the span-20 box
+        eval_meta["xi_span"] = cfg.domain.xi_span
+    if (cfg.domain.r_lo, cfg.domain.r_hi) != (0.2, 4.0):
+        # extended-well artifacts must carry their own R domain
+        eval_meta["r_lo"] = cfg.domain.r_lo
+        eval_meta["r_hi"] = cfg.domain.r_hi
     checkpoint.save(os.path.join(out_dir, "evaluated.npz"), tree,
                     meta=eval_meta)
     surf = aen.surface(new_params, cfg, n=args.n_test, lcao=False,

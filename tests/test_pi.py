@@ -264,8 +264,13 @@ def test_phi_4fpu_artifact_regression():
     """Golden regression on the shipped 4f phi_u artifact — the FIRST
     n = 4 surface and the phi (|m| = 3) sector minimum: gerade envelope x
     Re[(y+iz)^3], wide alpha head, no deflation (lowest in sector).
-    E_int within 0.05 mHa of the exact ODE oracle at probe Rs, every one
-    variationally positive."""
+    Round 5 re-ships it scored on the xi_span = 40 quadrature box (the
+    meta records it): the default span-20 box truncates the diffuse 4f
+    tail and UNDERSTATED the quotient, letting signed errors read
+    -0.0008 mHa. On the honest box the certificate is strict: E_int
+    within 0.006 mHa of the exact ODE oracle at probe Rs, every one
+    STRICTLY variationally positive (full-surface min signed
+    +0.0002 mHa)."""
     import os
     from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
         as aen
@@ -276,14 +281,16 @@ def test_phi_4fpu_artifact_regression():
         pytest.skip("4fpu artifact not present")
     params, meta = checkpoint.load_params(path)
     assert meta["target_state"] == "4fpu" and meta["m_abs"] == 3
+    assert meta["xi_span"] == 40.0   # the honest box for n = 4 tails
     params = params.get("params", params)
     params = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
               for k, v in params.items()}
     cfg = pqs.Config(dtype="float64",
-                     model=pqs.ModelConfig(arch="separable", m_abs=3))
+                     model=pqs.ModelConfig(arch="separable", m_abs=3),
+                     domain=pqs.DomainConfig(xi_span=40.0))
     r_probe = np.array([0.2, 1.0, 2.0, 4.0])
     exact = aen.exact_energy_ode(r_probe, state="4fpu")
     for ri, ex in zip(r_probe, exact):
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
-        assert -1e-3 <= err_mha <= 0.05, (ri, err_mha)
+        assert 0.0 < err_mha <= 0.006, (ri, err_mha)
