@@ -119,6 +119,35 @@ def dissociation_asymptote(state: str = "1ssg") -> float:
     return -0.5 / (n * n)
 
 
+def rovibrational_table(table: dict, state: str, n_v: int = 4,
+                        j_max: int = 5, mu: float = MU_H2PLUS) -> dict:
+    """The full E(v, J) rovibrational grid on an exported E(R) spline
+    table — the user-facing spectroscopy payoff of the surface accuracy
+    story (the reference stops at the electronic curve; here the same
+    artifact predicts the lines a lab measures).
+
+    Returns a JSON-friendly dict: ``levels_Ha[J][v]`` (total energy, Ha),
+    band origins (J = 0 spacings, cm^-1), per-v rotational constants
+    B_v = (E(v,1) - E(v,0))/2 (cm^-1, from E ~ E_v + B_v J(J+1)), and the
+    D0 against the state's separated-atom asymptote. Keep ``n_v`` small
+    enough that every (v, J) level is bound well inside the table domain
+    (box-distortion caveat of ``nuclear_levels``)."""
+    e = np.stack([levels_from_table(table, n_levels=n_v, j=j, mu=mu)
+                  for j in range(j_max + 1)])           # (j_max+1, n_v)
+    asym = dissociation_asymptote(state)
+    b_v = (e[1] - e[0]) / 2.0 if j_max >= 1 else np.zeros(n_v)
+    return {
+        "state": state, "mu": mu, "n_v": n_v, "j_max": j_max,
+        "asymptote_Ha": asym,
+        "levels_Ha": [[round(float(x), 9) for x in row] for row in e],
+        "band_origins_cm1": [round(float(d) * HARTREE_CM1, 2)
+                             for d in np.diff(e[0])],
+        "B_v_cm1": [round(float(b) * HARTREE_CM1, 4) for b in b_v],
+        "D0_Ha": round(asym - float(e[0, 0]), 9),
+        "D0_eV": round((asym - float(e[0, 0])) * 27.211386246, 5),
+    }
+
+
 def summarize(levels: np.ndarray, asymptote: float = -0.5) -> dict:
     """JSON-friendly summary: levels (Ha), fundamental and spacings in
     cm^-1, and the dissociation energy D0 = asymptote - E0 where

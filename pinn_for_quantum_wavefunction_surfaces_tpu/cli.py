@@ -706,6 +706,17 @@ def cmd_vibrations(args) -> None:
             # against — that fixes the dissociation asymptote for D0
             _, ck_meta = checkpoint.load_params(args.checkpoint)
             state = (ck_meta or {}).get("target_state", "1ssg")
+    if args.j_max is not None:
+        # full E(v, J) rovibrational grid artifact (analysis.vibration.
+        # rovibrational_table): band origins + B_v constants + D0
+        out = {"source": source}
+        out.update(vibration.rovibrational_table(
+            table, state, n_v=args.n_levels, j_max=args.j_max))
+        if args.vib_out:
+            with open(args.vib_out, "w") as fh:
+                json.dump(out, fh, indent=1)
+        print(json.dumps(out))
+        return
     levels = vibration.levels_from_table(table, n_levels=args.n_levels,
                                          j=args.j)
     out = {"source": source, "J": args.j, "state": state}
@@ -928,6 +939,12 @@ def main(argv=None) -> None:
     p.add_argument("--n-levels", type=int, default=4, dest="n_levels")
     p.add_argument("--j", type=int, default=0,
                    help="rotational quantum number J")
+    p.add_argument("--j-max", type=int, default=None, dest="j_max",
+                   help="emit the full E(v<=n_levels-1, J<=j_max) "
+                        "rovibrational grid (band origins, B_v, D0) "
+                        "instead of one J ladder")
+    p.add_argument("--out", dest="vib_out",
+                   help="with --j-max: also write the grid as JSON here")
     p.add_argument("--state", dest="vib_state",
                    help="electronic state label for the dissociation "
                         "asymptote (default: the artifact's target_state "

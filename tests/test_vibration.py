@@ -95,6 +95,40 @@ def test_excited_2ppu_well_spectroscopy_matches_oracle():
         np.testing.assert_allclose(lv_j, lv_or_j, rtol=0, atol=1e-6)
 
 
+def test_rovibrational_grid_artifacts():
+    """Golden on the shipped E(v, J) rovibrational grid artifacts
+    (analysis.vibration.rovibrational_table; `cli vibrations --j-max`):
+    the JSON must reproduce a fresh eigensolve off the same spline table
+    bit-for-bit (at the stored rounding), and the physical constants must
+    sit on the textbook H2+ values (B_0 ~ 29.1 cm^-1, fundamental
+    ~2192 cm^-1; the 2ppu well's soft 253 cm^-1 / B_0 ~ 1.86). Oracle
+    agreement per (v, J) is covered by the J-ladder tests above — this
+    golden pins the published artifact."""
+    import json
+    for name, state, n_v, pins in (
+            ("rovib_1ssg.json", "1ssg", 4,
+             dict(b0=29.1325, nu0=2192.01, d0_ev=2.65027)),
+            ("rovib_2ppu_well.json", "2ppu", 3,
+             dict(b0=1.8614, nu0=253.04, d0_ev=0.24256))):
+        path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                            name)
+        if not os.path.exists(path):
+            pytest.skip(f"{name} not present")
+        with open(path) as fh:
+            art = json.load(fh)
+        src = os.path.join(os.path.dirname(__file__), "..", art["source"])
+        got = vib.rovibrational_table(etab.load_table(src), state,
+                                      n_v=n_v, j_max=art["j_max"])
+        np.testing.assert_allclose(np.asarray(got["levels_Ha"]),
+                                   np.asarray(art["levels_Ha"]),
+                                   rtol=0, atol=2e-9)
+        assert abs(art["B_v_cm1"][0] - pins["b0"]) < 1e-3, art
+        assert abs(art["band_origins_cm1"][0] - pins["nu0"]) < 0.02, art
+        assert abs(art["D0_eV"] - pins["d0_ev"]) < 1e-4, art
+        # rotational constants shrink with v (anharmonic stretch)
+        assert all(np.diff(art["B_v_cm1"]) < 0), art
+
+
 def test_j_ladder_matches_oracle_rovibrational():
     """J-RESOLVED rovibrational ladder from the PINN table vs the exact
     oracle curve (same FD solver, same J): the centrifugal term
