@@ -193,6 +193,77 @@ cont-3dsg:
 	  evaluate runs/cont_3dsg/variational.npz --dtype float64 \
 	  --target-state 3dsg
 
+# Round-5: the n = 4 sigma_u pair (DESIGN.md S12). 4p sigma_u is the
+# third radial ungerade state (two xi nodes, k = 2 deflation against the
+# shipped 2psu + 3psu); once IT ships, 4f sigma_u — the state plain
+# k-counting cannot reach (its curve crosses 4psu's at R* = 1.933,
+# test_exact.py::test_n4_radial_state_4psu_and_crossing) — becomes
+# reachable with k = 3 deflation: the deflated-complement minimum is
+# 4fsu at EVERY R regardless of the crossing, because all three states
+# below-or-crossing are projected out. Split recipe: TPU Adam warmup
+# (drop the CPU_ENV prefix) + CPU f64 L-BFGS, like 4fpu.
+# BOTH states need the --xi-span 40 box for TRAINING, not just scoring:
+# trained on span 20 the optimiser spreads the diffuse n=4 tail past the
+# box (4psu read -0.054 mHa signed on span 20 but +0.18 on the honest
+# box — same mechanism as the round-4 4fpu lesson, now upstream of the
+# objective itself).
+excited-4psu:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/excited_4psu --arch separable --xi-node2 \
+	  --state ungerade --wide-alpha --spheroidal --xi-span 40 \
+	  --r-cluster log \
+	  --deflate artifacts/ungerade_separable.npz \
+	  --deflate artifacts/excited_3psu.npz \
+	  --adam-warmup 1500 --lbfgs 1500 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 64 --n-eta 32 --dtype float64 --target-state 4psu
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/excited_4psu/variational.npz --state ungerade \
+	  --dtype float64 --target-state 4psu
+
+excited-4fsu:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/excited_4fsu --arch separable --eta-node \
+	  --state ungerade --wide-alpha --spheroidal --xi-span 40 \
+	  --deflate artifacts/ungerade_separable.npz \
+	  --deflate artifacts/excited_3psu.npz \
+	  --deflate artifacts/excited_4psu.npz \
+	  --adam-warmup 1500 --lbfgs 1500 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 64 --n-eta 32 --dtype float64 --target-state 4fsu
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/excited_4fsu/variational.npz --state ungerade \
+	  --dtype float64 --target-state 4fsu
+
+# Round-5 spectroscopy: the 3d sigma_g well (minimum near R ~ 4.4,
+# D_e ~ 50 mHa below the H(n=2) asymptote — much deeper than the 2ppu
+# well). Needs the deflation chain EXTENDED to R in [2.5, 8] first
+# (references trained on [0.2, 4] extrapolate garbage past R = 4):
+# warm-resume 1ssg, then 2ssg (deflate ext-1ssg), then the 3dsg well
+# itself (k = 2 against both), then evaluate + `cli vibrations`.
+well-3dsg:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational artifacts/flagship_separable.npz --out runs/well_1ssg \
+	  --arch separable --spheroidal --r-lo 2.5 --r-hi 8 \
+	  --adam-warmup 600 --lbfgs 400 --lbfgs-memory 50 \
+	  --n-r 40 --n-xi 48 --n-eta 32 --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational artifacts/excited_2ssg.npz --out runs/well_2ssg \
+	  --arch separable --xi-node --wide-alpha --spheroidal \
+	  --r-lo 2.5 --r-hi 8 --deflate runs/well_1ssg/variational.npz \
+	  --adam-warmup 600 --lbfgs 400 --lbfgs-memory 50 \
+	  --n-r 40 --n-xi 48 --n-eta 32 --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational artifacts/excited_3dsg.npz --out runs/well_3dsg \
+	  --arch separable --eta-node --wide-alpha --spheroidal \
+	  --r-lo 2.5 --r-hi 8 --deflate runs/well_1ssg/variational.npz \
+	  --deflate runs/well_2ssg/variational.npz \
+	  --adam-warmup 600 --lbfgs 400 --lbfgs-memory 50 \
+	  --n-r 40 --n-xi 48 --n-eta 32 --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/well_3dsg/variational.npz --dtype float64 \
+	  --r-lo 2.5 --r-hi 8 --target-state 3dsg
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  vibrations runs/well_3dsg/evaluated.npz --n-levels 4 --j-max 5
+
 # Per-R variational-floor study for both ansatz families (39 Rs each,
 # figure -> artifacts/figures/dispersion.pdf; ~1.5 h on this 1-core host)
 dispersion:

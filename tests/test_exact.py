@@ -361,6 +361,28 @@ def test_n4_radial_state_4psu_and_crossing():
     assert abs(r_star - 1.93306) < 5e-4
 
 
+def test_2ssg_3dsg_crossing():
+    """The n <= 3 gerade sector has its own same-sector exact crossing
+    (round-5 finding, surfaced by the 3dsg-well campaign): 2s sigma_g
+    (xi-node branch) and 3d sigma_g (eta-node branch) cross at
+    R* = 2.0268 — beyond it 3dsg is the SECOND gerade state (40-77 mHa
+    below 2ssg across [2.5, 8], both dissociating to H(n=2) as the
+    up/downhill Stark pair). Consequences pinned here: (a) the extended
+    -domain 3dsg well needs only k = 1 deflation (against 1ssg); (b) on
+    the standard [0.2, 4] domain the k-counting rule already breaks for
+    R > R* — the node-family ansatz constraint, not the deflation count,
+    is what selects the branch there (the shipped 2ssg artifact stays on
+    its branch at R = 3-4 where the plain deflated minimum is 3dsg)."""
+    from scipy.optimize import brentq
+
+    f = lambda r: (exact.exact_electronic_energy(r, "3dsg")
+                   - exact.exact_electronic_energy(r, "2ssg"))
+    assert f(2.0) > 0 > f(2.1)              # bracket of the crossing
+    r_star = brentq(f, 2.0, 2.1, xtol=1e-4)
+    assert abs(r_star - 2.02676) < 5e-4
+    assert f(4.0) < -0.07                   # 3dsg ~77 mHa below at R=4
+
+
 def test_n4_phi_sector_minimum_4fpu():
     """4f phi_u — the m = 3 sector minimum (the n = 4 analog of
     2ppu/3ddg: lowest in its sector, so trainable without deflation).

@@ -14,6 +14,17 @@ from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import vibration \
 ART = os.path.join(os.path.dirname(__file__), "..", "artifacts",
                    "evaluated.npz")
 
+_ORACLE_MEMO = {}
+
+
+def _oracle_table(state, **kw):
+    """The exact-ODE table costs ~1 s/knot — share one build per
+    (state, domain) across the tests in this module."""
+    key = (state, tuple(sorted(kw.items())))
+    if key not in _ORACLE_MEMO:
+        _ORACLE_MEMO[key] = vib.oracle_table(state, **kw)
+    return _ORACLE_MEMO[key]
+
 
 def test_harmonic_oscillator_exact():
     """Richardson-extrapolated FD solver vs the analytic oscillator:
@@ -59,7 +70,7 @@ def test_pinn_table_matches_exact_oracle_levels():
     ~2.8e-7)."""
     if not os.path.exists(ART):
         pytest.skip("flagship evaluated artifact not present")
-    t_or = vib.oracle_table("1ssg", n_knots=60)
+    t_or = _oracle_table("1ssg", n_knots=60)
     lv_or = vib.levels_from_table(t_or, n_levels=3)
     lv = vib.levels_from_table(etab.load_table(ART), n_levels=3)
     np.testing.assert_allclose(lv, lv_or, rtol=0, atol=1e-6)
@@ -78,8 +89,8 @@ def test_excited_2ppu_well_spectroscopy_matches_oracle():
     if not os.path.exists(ART_2PPU_WELL):
         pytest.skip("extended 2ppu well artifact not present")
     table = etab.load_table(ART_2PPU_WELL)
-    t_or = vib.oracle_table("2ppu", r_lo=float(table["R"][0]),
-                            r_hi=float(table["R"][-1]), n_knots=60)
+    t_or = _oracle_table("2ppu", r_lo=float(table["R"][0]),
+                         r_hi=float(table["R"][-1]), n_knots=60)
     lv_or = vib.levels_from_table(t_or, n_levels=3)
     lv = vib.levels_from_table(table, n_levels=3)
     np.testing.assert_allclose(lv, lv_or, rtol=0, atol=1e-6)
@@ -137,7 +148,7 @@ def test_j_ladder_matches_oracle_rovibrational():
     E(v=0,J) must be increasing and roughly linear in J(J+1)."""
     if not os.path.exists(ART):
         pytest.skip("flagship evaluated artifact not present")
-    t_or = vib.oracle_table("1ssg", n_knots=60)
+    t_or = _oracle_table("1ssg", n_knots=60)
     table = etab.load_table(ART)
     e0 = []
     for j in (1, 5, 10):
