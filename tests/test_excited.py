@@ -401,6 +401,53 @@ def test_excited_3dsg_artifact_regression():
     assert frac.max() < 1e-4, frac
 
 
+def test_excited_4psu_artifact_regression():
+    """Golden on the shipped 4p sigma_u artifact — the FIRST n = 4 radial
+    state (third ungerade root: double xi-node + k = 2 deflation against
+    2psu/3psu), trained AND scored on the honest --xi-span 40 box (the
+    diffuse n = 4 tail spreads past the span-20 box if the objective
+    doesn't price it — DESIGN.md S12): E_int within 0.09 mHa of the
+    exact ODE oracle at probe Rs (R = 0.2-dominated: 0.082 there, ~0.02
+    elsewhere — the xi_node2 family's small-R plateau), STRICTLY
+    variationally positive, and frozen-reference contamination < 1e-4."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import \
+        variational
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "excited_4psu.npz")
+    if not os.path.exists(path):
+        pytest.skip("4psu artifact not present")
+    params, meta = checkpoint.load_params(path)
+    assert meta["target_state"] == "4psu"
+    assert float(meta["xi_span"]) == 40.0
+    params = params.get("params", params)
+    params = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+              for k, v in params.items()}
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable", xi_node=True,
+                                           xi_node2=True, wide_alpha=True,
+                                           inversion_symmetry=-1))
+    cfg = dataclasses.replace(cfg, domain=dataclasses.replace(
+        cfg.domain, xi_span=40.0))
+    r_probe = np.array([0.2, 1.0, 2.0, 4.0])
+    exact = aen.exact_energy_ode(r_probe, state="4psu")
+    for ri, ex in zip(r_probe, exact):
+        e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
+        err_mha = 1e3 * (e - ex)
+        assert 0.0 < err_mha <= 0.09, (ri, err_mha)
+    refs = []
+    for p in ("artifacts/ungerade_separable.npz",
+              "artifacts/excited_3psu.npz"):
+        q, _ = checkpoint.load_params(p)
+        refs.append(q.get("params", q))
+    frac = variational.contamination_curve(params, refs, cfg, [1.0, 4.0],
+                                           n_xi=48, n_eta=48)
+    assert frac.max() < 1e-4, frac
+
+
 def test_excited_3ssg_artifact_regression():
     """Golden regression on the shipped 3s sigma_g artifact — the THIRD
     gerade-sigma radial state (double xi-node + 3-reference deflation
