@@ -94,6 +94,43 @@ STATE_INDEX = {
     # above it 4fsu. Trained first, 4psu completes the reference list
     # that makes 4fsu the deflated minimum at EVERY R (DESIGN.md S12).
     "4psu": (0, -1, 0, 2),
+    # Round-5 widening of the n = 4 shell into the m > 0 sectors.
+    # Separated-atom correlations follow from the node counts: with
+    # n_xi = root and n_eta = 2*branch + (parity < 0), the parabolic
+    # quantum numbers at D -> infinity are n1 = n_xi, n2 = floor(n_eta/2),
+    # n = n1 + n2 + m + 1, linear-Stark slope (3/2) n (n1 - n2) / D^2
+    # (validated for every state in tests/test_exact.py).
+    #
+    # 4f delta_u: the m = 2 UNGERADE sector minimum (odd l - m branch from
+    # l = 3) — trainable without deflation like 2ppu/3ddg/4fpu. United
+    # atom He+(4f, -1/8); separated atom H(3d, -1/18), no linear Stark
+    # (n1 = n2 = 0).
+    "4fdu": (2, -1, 0, 0),
+    # 4d pi_g: second pi_g state (one xi node on the 3dpg ladder; k = 1
+    # deflation). United atom He+(4d); separated atom H(n=3) uphill
+    # (n1 - n2 = +1). The rival second ANGULAR branch state 5g pi_g sits
+    # >18 mHa ABOVE it everywhere in R <= 6 (no in-span crossing —
+    # pinned in tests), so plain k-counting is safe here.
+    "4dpg": (1, -1, 0, 1),
+    # 4d delta_g: second delta_g state (one xi node on the 3ddg ladder;
+    # k = 1). United atom He+(4d); separated atom H(n=4) uphill
+    # (n1 - n2 = +1). Rival 5g delta_g stays >4 mHa above through R = 6.
+    "4ddg": (2, 1, 0, 1),
+    # 4f pi_u: the SECOND ANGULAR branch of pi_u (one eta-node pair,
+    # l = 3 at c = 0) — and, unlike the sigma_u shell, it is the THIRD
+    # pi_u state at EVERY R in span: it sits BELOW the radial 4p pi_u by
+    # +0.7 mHa (R = 0.2) to +51 mHa (R = 4), no crossing (pinned in
+    # tests). So k = 2 deflation against 2ppu + 3ppu reaches 4fpiu
+    # directly; the radial 4ppu is the FOURTH pi_u state and needs k = 3.
+    # United atom He+(4f); separated atom H(n=3) DOWNHILL (n2 = 1).
+    # (Key is "4fpiu" not "4f pu" — "4fpu" already names 4f phi_u, the
+    # m = 3 sector minimum; phi and pi collide in single-letter form.)
+    "4fpiu": (1, 1, 1, 0),
+    # 4p pi_u: third RADIAL pi_u state (two xi nodes) — the fourth pi_u
+    # state in-span (see 4fpiu above). United atom He+(4p); separated
+    # atom H(n=4) uphill with the largest Stark slope in the shell
+    # (n1 - n2 = +2, slope 12/D^2).
+    "4ppu": (1, 1, 0, 2),
 }
 STATES = tuple(STATE_INDEX)
 
@@ -102,7 +139,13 @@ STATES = tuple(STATE_INDEX)
 # wider windows — 2psu famously dips BELOW its united-atom level, to
 # -0.6675 at D = 2, so windows are per-state data, not derivable from n).
 _SCAN_LO = {"2ppu": -0.7, "3dpg": -0.6, "3ppu": -0.7, "3ddg": -0.6,
-            "4fpu": -0.3}
+            "4fpu": -0.3,
+            # n = 4 m > 0 shell: windows must sit below every LOWER root
+            # of the same (m, parity, branch) ladder at every D (root
+            # counting scans upward) — so the radial-ladder states
+            # inherit their root-0 sibling's window, not their own dip.
+            "4fdu": -0.6, "4dpg": -0.6, "4ddg": -0.6,
+            "4fpiu": -0.7, "4ppu": -0.7}
 
 
 def angular_eigenvalue(c2: float, parity: int, n_basis: int = 60,

@@ -448,12 +448,16 @@ def cmd_variational(args) -> None:
         # known states per (|m|, envelope parity) sector, lowest first —
         # k deflated references target the (k+1)-th state
         # NOTE the (0,-1) entry stops being a pure energy ordering past the
-        # 4psu/4fsu crossing at R = 1.933 (test_exact) — for those runs the
-        # explicit --target-state override below is authoritative
+        # 4psu/4fsu crossing at R = 1.933 (test_exact), and the (1,1) one
+        # past the 3ppu/4fpiu crossing at R = 4.115 (just outside the
+        # default box) — for such runs the explicit --target-state
+        # override below is authoritative
         sector = {(0, 1): ["1ssg", "2ssg", "3dsg", "3ssg"],
                   (0, -1): ["2psu", "3psu", "4psu", "4fsu"],
-                  (1, 1): ["2ppu", "3ppu"], (1, -1): ["3dpg"],
-                  (2, 1): ["3ddg"], (3, 1): ["4fpu"]}.get(
+                  (1, 1): ["2ppu", "3ppu", "4fpiu", "4ppu"],
+                  (1, -1): ["3dpg", "4dpg"],
+                  (2, 1): ["3ddg", "4ddg"], (2, -1): ["4fdu"],
+                  (3, 1): ["4fpu"]}.get(
             (cfg.model.m_abs, cfg.model.inversion_symmetry), [])
         if cfg.model.m_abs:
             meta["m_abs"] = cfg.model.m_abs

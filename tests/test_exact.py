@@ -432,3 +432,55 @@ def test_n4_phi_sector_minimum_4fpu():
     ev = eigh(0.5 * (h_mat + h_mat.T), s_mat, eigvals_only=True)
     gap = ev[0] - exact.exact_electronic_energy(r_half, "4fpu")
     assert -1e-9 < gap < 5e-4, gap
+
+
+def test_n4_m_sector_shell():
+    """Round-5 widening of the n = 4 shell into the m > 0 sectors:
+    4f delta_u (the delta_u sector MINIMUM), 4d pi_g / 4d delta_g (k = 1
+    radial states), 4f pi_u (second pi_u ANGULAR branch) and 4p pi_u.
+    United-atom limits are He+(n=4) = -1/8 for all five; separated-atom
+    limits follow the parabolic mapping n1 = n_xi, n2 = floor(n_eta/2),
+    n = n1 + n2 + m + 1 with linear-Stark slope (3/2) n (n1 - n2)
+    (reference poc/main.py has no excited spectrum at all — this ladder
+    is oracle-only capability on top of it)."""
+    for s in ("4fdu", "4dpg", "4ddg", "4fpiu", "4ppu"):
+        assert abs(exact.exact_electronic_energy(0.01, s) - (-0.125)) < 5e-5
+
+    d = 60.0
+    sep = {
+        # (n, n1 - n2): E ~ -1/(2 n^2) - 1/D + 1.5 n (n1-n2) / D^2
+        "4fdu": (3, 0),     # H(3d), no linear Stark
+        "4dpg": (3, +1),    # H(n=3) uphill
+        "4fpiu": (3, -1),   # H(n=3) DOWNHILL (n2 = 1) — see crossing below
+        "4ddg": (4, +1),    # H(n=4) uphill
+        "4ppu": (4, +2),    # largest slope in the shell
+    }
+    for s, (n, dq) in sep.items():
+        ref = -0.5 / n ** 2 - 1 / d + 1.5 * n * dq / d ** 2
+        tol = 2e-4 if abs(dq) < 2 else 6e-4   # O(1/D^3) grows with |dq|
+        assert abs(exact.exact_electronic_energy(d / 2, s) - ref) < tol, s
+
+
+def test_pi_u_ladder_ordering_and_crossing():
+    """Deflation-counting facts for the pi_u n = 4 pair (the analog of
+    the 4psu/4fsu sigma_u story, with the OPPOSITE resolution): the
+    angular-branch state 4f pi_u sits BELOW the radial 4p pi_u at every
+    R in the standard box — +0.68 mHa at R = 0.2 growing to +51 mHa at
+    R = 4 — so k = 2 deflation against 2ppu + 3ppu reaches 4fpiu
+    directly and 4ppu is the FOURTH pi_u state (k = 3). The ladder's
+    own exact crossing is 3ppu x 4fpiu at R* = 4.1146, just OUTSIDE the
+    default [0.2, 4] domain (both dissociate to H(n=3) as the up/downhill
+    Stark pair): in-span counting is safe, extended-domain pi_u runs past
+    R* are not."""
+    from scipy.optimize import brentq
+
+    gap = lambda r: (exact.exact_electronic_energy(r, "4ppu")
+                     - exact.exact_electronic_energy(r, "4fpiu"))
+    assert abs(gap(0.2) * 1e3 - 0.675) < 0.02
+    assert abs(gap(4.0) * 1e3 - 50.822) < 0.05
+
+    f = lambda r: (exact.exact_electronic_energy(r, "3ppu")
+                   - exact.exact_electronic_energy(r, "4fpiu"))
+    assert f(4.0) < 0 < f(4.2)              # bracket of the crossing
+    r_star = brentq(f, 4.0, 4.2, xtol=1e-4)
+    assert abs(r_star - 4.11459) < 5e-4
