@@ -5,7 +5,9 @@ CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
 .PHONY: test bench train evaluate dryrun pallas-ab dispersion ref-recipe \
 	excited-2ssg excited-3psu excited-3dsg excited-2ppu excited-3dpg \
-	excited-3ddg excited-4fpu excited-2ppu-well
+	excited-3ddg excited-4fpu excited-2ppu-well cont-3psu cont-3dsg \
+	excited-4psu excited-4fsu excited-4fdu excited-4dpg excited-4ddg \
+	excited-4fpiu well-3dsg cont-3ssg
 
 test:
 	$(CPU_ENV) python -m pytest tests/ -q
@@ -193,6 +195,23 @@ cont-3dsg:
 	  evaluate runs/cont_3dsg/variational.npz --dtype float64 \
 	  --target-state 3dsg
 
+# Round-5 tightening pass (VERDICT r4 item 7): the two states still on
+# the 0.05 mHa max bar are small-R/deflation-floor dominated — 3ssg
+# re-deflates against the CURRENT dense references (incl. the round-5
+# 3dsg at 0.0079) before its own dense log-row continuation.
+cont-3ssg:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational artifacts/excited_3ssg.npz --out runs/cont_3ssg \
+	  --arch separable --xi-node2 --wide-alpha --spheroidal \
+	  --deflate artifacts/flagship_separable.npz \
+	  --deflate artifacts/excited_2ssg.npz \
+	  --deflate artifacts/excited_3dsg.npz \
+	  --adam-warmup 0 --lbfgs 400 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 96 --n-eta 64 --r-cluster log --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/cont_3ssg/variational.npz --dtype float64 \
+	  --target-state 3ssg
+
 # Round-5: the n = 4 sigma_u pair (DESIGN.md S12). 4p sigma_u is the
 # third radial ungerade state (two xi nodes, k = 2 deflation against the
 # shipped 2psu + 3psu); once IT ships, 4f sigma_u — the state plain
@@ -232,6 +251,55 @@ excited-4fsu:
 	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
 	  evaluate runs/excited_4fsu/variational.npz --state ungerade \
 	  --dtype float64 --target-state 4fsu
+
+# Round-5: the n = 4 m > 0 shell (oracle pinned in
+# test_exact.py::test_n4_m_sector_shell). All n = 4 states train AND
+# score on the honest --xi-span 40 box (the 4psu lesson above). The
+# pi_u ladder has the OPPOSITE resolution to the sigma_u pair: the
+# angular branch 4f pi_u sits BELOW the radial 4p pi_u at every in-span
+# R (crossing 3ppu x 4fpiu at R* = 4.115, OUTSIDE the box), so k = 2
+# deflation reaches 4fpiu directly and 4ppu is the k = 3 state.
+# Split recipe like 4fpu/4psu: TPU Adam warmup + CPU f64 L-BFGS.
+excited-4fdu:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/delta_4fdu --arch separable --m-abs 2 \
+	  --state ungerade --wide-alpha --spheroidal --xi-span 40 \
+	  --adam-warmup 1500 --lbfgs 800 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 48 --n-eta 32 --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/delta_4fdu/variational.npz --dtype float64
+
+excited-4dpg:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/pi_4dpg --arch separable --m-abs 1 \
+	  --state ungerade --wide-alpha --xi-node --spheroidal --xi-span 40 \
+	  --deflate artifacts/pi_3dpg.npz --r-cluster log \
+	  --adam-warmup 1500 --lbfgs 1500 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 64 --n-eta 32 --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/pi_4dpg/variational.npz --dtype float64
+
+excited-4ddg:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/delta_4ddg --arch separable --m-abs 2 \
+	  --wide-alpha --xi-node --spheroidal --xi-span 40 \
+	  --deflate artifacts/delta_3ddg.npz --r-cluster log \
+	  --adam-warmup 1500 --lbfgs 1500 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 64 --n-eta 32 --dtype float64
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/delta_4ddg/variational.npz --dtype float64
+
+excited-4fpiu:
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  variational --out runs/pi_4fpiu --arch separable --m-abs 1 \
+	  --wide-alpha --eta-node --spheroidal --xi-span 40 \
+	  --deflate artifacts/pi_2ppu.npz \
+	  --deflate artifacts/pi_3ppu.npz \
+	  --adam-warmup 1500 --lbfgs 1500 --lbfgs-memory 50 \
+	  --n-r 39 --n-xi 64 --n-eta 32 --dtype float64 --target-state 4fpiu
+	$(CPU_ENV) python -m pinn_for_quantum_wavefunction_surfaces_tpu.cli \
+	  evaluate runs/pi_4fpiu/variational.npz --dtype float64 \
+	  --target-state 4fpiu
 
 # Round-5 spectroscopy: the 3d sigma_g well (minimum near R ~ 4.4,
 # D_e ~ 50 mHa below the H(n=2) asymptote — much deeper than the 2ppu
