@@ -170,37 +170,43 @@ def angular_eigenvalue(c2: float, parity: int, n_basis: int = 60,
     ls = np.arange(m if parity > 0 else m + 1, m + 2 * n_basis,
                    2, dtype=np.float64)
     diag = -ls * (ls + 1) + c2 * (af(ls) * bf(ls + 1) + bf(ls) * af(ls - 1))
-    mat = np.diag(diag)
-    idx = np.arange(len(ls) - 1)
-    # row l+2 couples to c_l (weight a_l a_{l+1}); row l to c_{l+2}
-    # (weight b_{l+2} b_{l+1})
-    mat[idx + 1, idx] = c2 * af(ls[:-1]) * af(ls[:-1] + 1)
-    mat[idx, idx + 1] = c2 * bf(ls[:-1] + 2) * bf(ls[:-1] + 1)
-    ev = np.sort(np.linalg.eigvals(mat).real)[::-1]
+    # The matrix is tridiagonal with sub_i = c2 a_l a_{l+1} (row l+2 <- c_l)
+    # and super_i = c2 b_{l+2} b_{l+1} (row l <- c_{l+2}); sub*super =
+    # c2^2 (a a b b) >= 0 for every l >= m, so a diagonal similarity
+    # symmetrises it exactly (off_i = sqrt(sub_i super_i)) — same spectrum,
+    # but LAPACK's symmetric-tridiagonal solver replaces the dense
+    # nonsymmetric Schur factorisation (~100x at n_basis = 60; the oracle's
+    # hot inner call, profiled in round 5).
+    from scipy.linalg import eigvalsh_tridiagonal
+    sub = c2 * af(ls[:-1]) * af(ls[:-1] + 1)
+    sup = c2 * bf(ls[:-1] + 2) * bf(ls[:-1] + 1)
+    ev = eigvalsh_tridiagonal(diag, np.sqrt(sub * sup))[::-1]
     return -float(ev[branch])
 
 
 def _angular_eigenvalues_vec(c2s: np.ndarray, parity: int, n_basis: int = 60,
                              branch: int = 0, m: int = 0) -> np.ndarray:
-    """Vectorised angular_eigenvalue over a batch of c^2 values — one
-    batched eigvals call instead of a Python loop of 60x60 solves."""
+    """Vectorised angular_eigenvalue over a batch of c^2 values. Each
+    matrix symmetrises to a real tridiagonal (see angular_eigenvalue), so
+    a Python loop of LAPACK symmetric-tridiagonal solves (~30 us each at
+    n_basis = 60) beats one batched dense nonsymmetric eigvals by ~100x —
+    the batch's former cost was 88% of every oracle call."""
+    from scipy.linalg import eigvalsh_tridiagonal
     af = lambda l: (l - m + 1) / (2 * l + 1)
     bf = lambda l: (l + m) / (2 * l + 1)
     ls = np.arange(m if parity > 0 else m + 1, m + 2 * n_basis,
                    2, dtype=np.float64)
-    n = len(ls)
     c2s = np.asarray(c2s, np.float64)
-    mats = np.zeros((len(c2s), n, n))
-    diag = (-ls * (ls + 1))[None, :] + c2s[:, None] * (
-        af(ls) * bf(ls + 1) + bf(ls) * af(ls - 1))[None, :]
-    i = np.arange(n)
-    mats[:, i, i] = diag
-    j = np.arange(n - 1)
-    mats[:, j + 1, j] = c2s[:, None] * (af(ls[:-1]) * af(ls[:-1] + 1))[None]
-    mats[:, j, j + 1] = c2s[:, None] * (bf(ls[:-1] + 2)
-                                        * bf(ls[:-1] + 1))[None]
-    ev = np.sort(np.linalg.eigvals(mats).real, axis=1)[:, ::-1]
-    return -ev[:, branch]
+    diag0 = -ls * (ls + 1)
+    dcoef = af(ls) * bf(ls + 1) + bf(ls) * af(ls - 1)
+    # sqrt(sub * super) with the c2-independent part hoisted out
+    ocoef = np.sqrt(af(ls[:-1]) * af(ls[:-1] + 1)
+                    * bf(ls[:-1] + 2) * bf(ls[:-1] + 1))
+    out = np.empty(len(c2s))
+    for i, c2 in enumerate(c2s):
+        ev = eigvalsh_tridiagonal(diag0 + c2 * dcoef, np.abs(c2) * ocoef)
+        out[i] = -ev[::-1][branch]
+    return out
 
 
 def _radial_condition_vec(es: np.ndarray, d: float, a_seps: np.ndarray,
