@@ -477,3 +477,54 @@ def test_excited_3ssg_artifact_regression():
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
         assert -2e-3 <= err_mha <= 0.06, (ri, err_mha)
+
+
+def test_excited_4fsu_artifact_regression():
+    """Golden on the shipped 4f sigma_u artifact — THE CROSSING STATE
+    (DESIGN.md S12): its curve crosses 4p sigma_u's at R* = 1.9331, so no
+    deflation COUNT reaches it; k = 3 span-deflation (2psu + 3psu + 4psu)
+    does, because the complement minimum is 4fsu at every R regardless of
+    the crossing side. eta-node ungerade ansatz on the honest xi-span-40
+    box. Accuracy is the round-5 plateau of one 1500+1500 split run —
+    E_int within 1.25 mHa of the exact ODE oracle at probe Rs (mean
+    0.425; R = 0.2-dominated like every diffuse n = 4 state), STRICTLY
+    variationally positive (min signed +0.112), and frozen-reference
+    contamination < 1e-4 (the certificate that it is NOT a re-found
+    lower state on either side of the crossing)."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import \
+        variational
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "excited_4fsu.npz")
+    if not os.path.exists(path):
+        pytest.skip("4fsu artifact not present")
+    params, meta = checkpoint.load_params(path)
+    assert meta["target_state"] == "4fsu"
+    assert float(meta["xi_span"]) == 40.0
+    params = params.get("params", params)
+    params = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+              for k, v in params.items()}
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable", eta_node=True,
+                                           wide_alpha=True,
+                                           inversion_symmetry=-1))
+    cfg = dataclasses.replace(cfg, domain=dataclasses.replace(
+        cfg.domain, xi_span=40.0))
+    r_probe = np.array([0.2, 1.0, 2.0, 4.0])
+    exact = aen.exact_energy_ode(r_probe, state="4fsu")
+    for ri, ex in zip(r_probe, exact):
+        e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
+        err_mha = 1e3 * (e - ex)
+        assert 0.0 < err_mha <= 1.25, (ri, err_mha)
+    refs = []
+    for p in ("artifacts/ungerade_separable.npz",
+              "artifacts/excited_3psu.npz",
+              "artifacts/excited_4psu.npz"):
+        q, _ = checkpoint.load_params(p)
+        refs.append(q.get("params", q))
+    frac = variational.contamination_curve(params, refs, cfg, [1.0, 4.0],
+                                           n_xi=48, n_eta=48)
+    assert frac.max() < 1e-4, frac
