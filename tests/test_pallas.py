@@ -22,9 +22,13 @@ def test_kernel_matches_fwdlap(p_sym):
     y = jax.random.uniform(k[1], (n,), jnp.float32, -6, 6)
     z = jax.random.uniform(k[2], (n,), jnp.float32, -6, 6)
     r = jax.random.uniform(k[3], (n,), jnp.float32, 0.5, 3.0)
-    psi_p, lap_p = psi_lap_pallas(params, cfg.model, x, y, z, r,
-                                  interpret=True)
-    s, _ = ansatz.psi_fwdlap(params, cfg.model, x, y, z, r)
+    # jit both sides (mcfg static): the eager interpret grid loop costs
+    # ~15 s/call; jitted it lands in the persistent compile cache
+    psi_p, lap_p = jax.jit(psi_lap_pallas, static_argnums=(1,),
+                           static_argnames=("interpret",))(
+        params, cfg.model, x, y, z, r, interpret=True)
+    s, _ = jax.jit(ansatz.psi_fwdlap, static_argnums=(1,))(
+        params, cfg.model, x, y, z, r)
     np.testing.assert_allclose(np.asarray(psi_p), np.asarray(s.v[..., 0]),
                                atol=2e-6)
     np.testing.assert_allclose(np.asarray(lap_p), np.asarray(s.l[..., 0]),

@@ -43,13 +43,26 @@ def _points(n=1100, dtype=jnp.float64, seed=1):
     return x, y, z, r
 
 
+# jit everything (cfg/mcfg static): EAGER interpret-mode kernels re-run
+# their grid loop op-by-op on every call (~10-30 s each); under jit the
+# executable lands in the persistent compile cache and warm reruns are
+# ~10 ms. Numerics are identical — the asserts are unchanged. (Warnings
+# from the fallback guard still fire: they are emitted at TRACE time,
+# which happens once per process.)
+_VG_LOSS = jax.jit(jax.value_and_grad(losses.loss_fn, has_aux=True),
+                   static_argnums=1)
+_LOSS = jax.jit(losses.loss_fn, static_argnums=1)
+_PSI_LAP = jax.jit(psi_lap_train_separable, static_argnums=(1,),
+                   static_argnames=("interpret", "point_grads"))
+_FWDLAP = jax.jit(ansatz.psi_fwdlap, static_argnums=(1,))
+
+
 @pytest.mark.parametrize("p_sym", [1, -1])
 def test_values_match_fwdlap(p_sym):
     mcfg, params = _model(p_sym)
     x, y, z, r = _points()
-    psi_p, lap_p, e_p = psi_lap_train_separable(params, mcfg, x, y, z, r,
-                                                interpret=True)
-    s, e = ansatz.psi_fwdlap(params, mcfg, x, y, z, r)
+    psi_p, lap_p, e_p = _PSI_LAP(params, mcfg, x, y, z, r, interpret=True)
+    s, e = _FWDLAP(params, mcfg, x, y, z, r)
     np.testing.assert_allclose(np.asarray(psi_p), np.asarray(s.v[..., 0]),
                                rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(np.asarray(lap_p), np.asarray(s.l[..., 0]),
@@ -68,10 +81,8 @@ def test_loss_gradients_match_xla(p_sym):
 
     cfg_p = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, kernel="pallas"))
-    (l_x, _), g_x = jax.value_and_grad(losses.loss_fn, has_aux=True)(
-        params, cfg, batch)
-    (l_p, _), g_p = jax.value_and_grad(losses.loss_fn, has_aux=True)(
-        params, cfg_p, batch)
+    (l_x, _), g_x = _VG_LOSS(params, cfg, batch)
+    (l_p, _), g_p = _VG_LOSS(params, cfg_p, batch)
     np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-11)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
@@ -92,10 +103,10 @@ def test_quotient_loss_gradients_match_xla():
 
     cfg_p = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, kernel="pallas"))
-    (l_x, _), g_x = jax.value_and_grad(
-        variational.quotient_loss, has_aux=True)(params, cfg, vb)
-    (l_p, _), g_p = jax.value_and_grad(
-        variational.quotient_loss, has_aux=True)(params, cfg_p, vb)
+    vg_quot = jax.jit(jax.value_and_grad(variational.quotient_loss,
+                                         has_aux=True), static_argnums=1)
+    (l_x, _), g_x = vg_quot(params, cfg, vb)
+    (l_p, _), g_p = vg_quot(params, cfg_p, vb)
     np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-11)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
@@ -117,8 +128,8 @@ def test_point_cotangents_are_exact():
         s, _ = ansatz.psi_fwdlap(params, mcfg, x_, y, z, r)
         return jnp.sum(s.v[..., 0] ** 2) + jnp.sum(s.l[..., 0])
 
-    np.testing.assert_allclose(np.asarray(jax.grad(f_pallas)(x)),
-                               np.asarray(jax.grad(f_xla)(x)),
+    np.testing.assert_allclose(np.asarray(jax.jit(jax.grad(f_pallas))(x)),
+                               np.asarray(jax.jit(jax.grad(f_xla))(x)),
                                rtol=1e-8, atol=1e-12)
 
 
@@ -167,13 +178,14 @@ def test_uncovered_family_warns_and_falls_back_to_xla(family):
     assert losses.pallas_unsupported_reason(params, mcfg) is not None
 
     vb = variational.spheroidal_vbatch(cfg, n_r=2, n_xi=10, n_eta=6)
+    jit_quot = jax.jit(variational.quotient_loss, static_argnums=1)
     with pytest.warns(UserWarning, match="falling back"):
-        l_p, _ = variational.quotient_loss(params, cfg_p, vb)
-    l_x, _ = variational.quotient_loss(params, cfg, vb)
+        l_p, _ = jit_quot(params, cfg_p, vb)
+    l_x, _ = jit_quot(params, cfg, vb)
     np.testing.assert_allclose(float(l_p), float(l_x), rtol=0, atol=0)
 
     batch = sample_batch(jax.random.PRNGKey(3), cfg, 64)
     with pytest.warns(UserWarning, match="falling back"):
-        l_p, _ = losses.loss_fn(params, cfg_p, batch)
-    l_x, _ = losses.loss_fn(params, cfg, batch)
+        l_p, _ = _LOSS(params, cfg_p, batch)
+    l_x, _ = _LOSS(params, cfg, batch)
     np.testing.assert_allclose(float(l_p), float(l_x), rtol=0, atol=0)

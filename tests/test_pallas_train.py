@@ -43,6 +43,17 @@ def _points(n=1100, dtype=jnp.float64, seed=1):
     return x, y, z, r
 
 
+# jit everything (cfg/mcfg static): EAGER interpret-mode kernels re-run
+# their grid loop op-by-op on every call (~10-30 s each); under jit the
+# executable lands in the persistent compile cache and warm reruns are
+# ~10 ms. Numerics are identical — the asserts are unchanged.
+_VG_LOSS = jax.jit(jax.value_and_grad(losses.loss_fn, has_aux=True),
+                   static_argnums=1)
+_PSI_LAP = jax.jit(psi_lap_train, static_argnums=(1,),
+                   static_argnames=("interpret", "point_grads"))
+_FWDLAP = jax.jit(ansatz.psi_fwdlap, static_argnums=(1,))
+
+
 @pytest.mark.parametrize("p_sym,gz,alpha", [
     (1, False, False), (-1, False, False),
     (1, True, True), (-1, True, True), (1, False, True),
@@ -50,9 +61,8 @@ def _points(n=1100, dtype=jnp.float64, seed=1):
 def test_values_match_fwdlap(p_sym, gz, alpha):
     mcfg, params = _model(p_sym, gz, alpha)
     x, y, z, r = _points()
-    psi_p, lap_p, e_p = psi_lap_train(params, mcfg, x, y, z, r,
-                                      interpret=True)
-    s, e = ansatz.psi_fwdlap(params, mcfg, x, y, z, r)
+    psi_p, lap_p, e_p = _PSI_LAP(params, mcfg, x, y, z, r, interpret=True)
+    s, e = _FWDLAP(params, mcfg, x, y, z, r)
     np.testing.assert_allclose(np.asarray(psi_p), np.asarray(s.v[..., 0]),
                                rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(np.asarray(lap_p), np.asarray(s.l[..., 0]),
@@ -73,10 +83,8 @@ def test_loss_gradients_match_xla(p_sym, gz, alpha):
 
     cfg_p = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, kernel="pallas"))
-    (l_x, _), g_x = jax.value_and_grad(losses.loss_fn, has_aux=True)(
-        params, cfg, batch)
-    (l_p, _), g_p = jax.value_and_grad(losses.loss_fn, has_aux=True)(
-        params, cfg_p, batch)
+    (l_x, _), g_x = _VG_LOSS(params, cfg, batch)
+    (l_p, _), g_p = _VG_LOSS(params, cfg_p, batch)
     np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-11)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
@@ -99,8 +107,8 @@ def test_point_cotangents_are_exact():
         s, _ = ansatz.psi_fwdlap(params, mcfg, x_, y, z, r)
         return jnp.sum(s.v[..., 0] ** 2) + jnp.sum(s.l[..., 0])
 
-    gp = jax.grad(f_pallas)(x)
-    gx = jax.grad(f_xla)(x)
+    gp = jax.jit(jax.grad(f_pallas))(x)
+    gx = jax.jit(jax.grad(f_xla))(x)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                rtol=1e-8, atol=1e-12)
 
