@@ -309,9 +309,24 @@ def main() -> None:
                 baseline = json.load(f)
         else:
             try:
+                # the torch step runs on the HOST CPU: a concurrent
+                # training job halves it and silently doubles vs_baseline
+                # (observed: 57.2k contended vs 110.3k idle). Measure
+                # anyway, but only CACHE a measurement taken on an idle
+                # host — a tainted cache would poison every later run.
+                # threshold 0.5: this is a ONE-core host, so a single
+                # competing process reads ~1.0-1.3 — anything above "the
+                # machine is basically idle" means contention
+                load = os.getloadavg()[0]
                 baseline = measure_torch_baseline()
-                with open(cache, "w") as f:
-                    json.dump(baseline, f)
+                if load < 0.5:
+                    with open(cache, "w") as f:
+                        json.dump(baseline, f)
+                else:
+                    print(f"host loadavg {load:.1f} > 1.5: baseline "
+                          "measured under contention, NOT cached "
+                          "(vs_baseline may be inflated this run)",
+                          file=sys.stderr)
             except Exception as exc:  # torch missing etc.
                 print(f"baseline measurement failed: {exc}", file=sys.stderr)
 
