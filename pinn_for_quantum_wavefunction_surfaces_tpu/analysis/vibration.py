@@ -110,6 +110,9 @@ SEPARATED_ATOM_N = {
     "2ssg": 2, "3dsg": 2, "3psu": 2, "2ppu": 2, "3dpg": 2,
     "3ssg": 3, "3ppu": 3, "3ddg": 3,
     "4fsu": 2, "4fpu": 4, "4psu": 3,
+    # n = 4 m > 0 shell (separated-atom limits per the oracle's Stark
+    # assignments, analysis/exact.py STATE_INDEX comments)
+    "4fdu": 3, "4dpg": 3, "4ddg": 4, "4fpiu": 3, "4ppu": 4,
 }
 
 
