@@ -120,7 +120,11 @@ def test_rovibrational_grid_artifacts():
             ("rovib_1ssg.json", "1ssg", 4,
              dict(b0=29.1325, nu0=2192.01, d0_ev=2.65027)),
             ("rovib_2ppu_well.json", "2ppu", 3,
-             dict(b0=1.8614, nu0=253.04, d0_ev=0.24256))):
+             dict(b0=1.8614, nu0=253.04, d0_ev=0.24256)),
+            # round 5: the 3d sigma_g well — 5x deeper than the 2ppu one
+            # (D_e ~ 50 mHa at R ~ 4.4), a stiff 427 cm^-1 ladder
+            ("rovib_3dsg_well.json", "3dsg", 4,
+             dict(b0=1.5159, nu0=427.11, d0_ev=1.33489))):
         path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
                             name)
         if not os.path.exists(path):
@@ -161,3 +165,35 @@ def test_j_ladder_matches_oracle_rovibrational():
     b1 = (e0[1] - e0[0]) / (30 - 2)    # J(J+1): 2, 30, 110
     b2 = (e0[2] - e0[1]) / (110 - 30)
     assert abs(b2 / b1 - 1.0) < 0.1    # centrifugal distortion is small
+
+
+ART_3DSG_WELL = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                             "excited_3dsg_well.npz")
+
+
+def test_excited_3dsg_well_spectroscopy_matches_oracle():
+    """The SECOND excited-state well (round-5): 3d sigma_g has a deep
+    minimum near R ~ 4.4 (D_e ~ 50 mHa below the H(n=2) asymptote — 5x
+    the 2ppu well). The extended-domain artifact (R in [2.5, 8], k = 2
+    deflation against extended 1ssg/2ssg references) must reproduce the
+    exact ODE oracle's nuclear levels for v = 0..3: measured max
+    deviation 1.52 µHa at ship time (the deeper ladder samples more of
+    the surface than the 2ppu well's 1 µHa bar)."""
+    if not os.path.exists(ART_3DSG_WELL):
+        pytest.skip("extended 3dsg well artifact not present")
+    table = etab.load_table(ART_3DSG_WELL)
+    t_or = _oracle_table("3dsg", r_lo=float(table["R"][0]),
+                         r_hi=float(table["R"][-1]), n_knots=60)
+    lv_or = vib.levels_from_table(t_or, n_levels=4)
+    lv = vib.levels_from_table(table, n_levels=4)
+    np.testing.assert_allclose(lv, lv_or, rtol=0, atol=2e-6)
+    s = vib.summarize(lv, asymptote=vib.dissociation_asymptote("3dsg"))
+    # deep bound well: D0 ~ 49 mHa against the H(n=2) limit, stiff
+    # fundamental ~427 cm^-1
+    assert 0.04 < s["D0_Ha"] < 0.06, s
+    assert 380.0 < s["spacings_cm1"][0] < 480.0, s
+    # J-resolved ladder must track the oracle per J too
+    for j in (1, 5):
+        lv_or_j = vib.levels_from_table(t_or, n_levels=2, j=j)
+        lv_j = vib.levels_from_table(table, n_levels=2, j=j)
+        np.testing.assert_allclose(lv_j, lv_or_j, rtol=0, atol=2e-6)
