@@ -906,14 +906,16 @@ def main(argv=None) -> None:
                    help="report the norm fraction of psi inside the span of "
                         "these frozen lower-state checkpoints (excited-state "
                         "certificate; repeatable)")
+    from .analysis.exact import STATES as _ORACLE_STATES
     p.add_argument("--target-state", dest="target_state",
-                   choices=["1ssg", "2psu", "2ssg", "3dsg", "3psu", "3ssg",
-                            "2ppu", "3dpg", "3ppu", "3ddg", "4fsu",
-                            "4fpu", "4psu"],
+                   choices=list(_ORACLE_STATES),
                    help="exact-oracle state to score against (default: "
                         "inferred from --state: gerade -> 1ssg, ungerade -> "
                         "2psu; deflation-trained excited checkpoints score "
-                        "against 2ssg / 3psu)")
+                        "against 2ssg / 3psu). Choices come from the "
+                        "oracle's own index (analysis.exact.STATES) so new "
+                        "sectors are scoreable the day they enter the "
+                        "oracle — a hand-kept list went stale at 4fpiu")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("sweep", help="per-R multi-model family (legacy mode)")

@@ -4,6 +4,8 @@ transverse factor Re[(y+iz)^m] on the separable ansatz
 2p pi_u / 3d pi_g / 3d delta_g sector minima, scored against the
 general-m exact oracle (analysis/exact)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -294,3 +296,50 @@ def test_phi_4fpu_artifact_regression():
         e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
         err_mha = 1e3 * (e - ex)
         assert 0.0 < err_mha <= 0.006, (ri, err_mha)
+
+
+def test_pi_4fpiu_artifact_regression():
+    """Golden on the shipped 4f pi_u artifact — the second ANGULAR branch
+    of the pi_u sector (eta-node pair on the gerade envelope x y-factor;
+    total parity u = envelope g x (-1)^m). Unlike the sigma_u shell the
+    branch ordering has NO in-span crossing (3ppu x 4fpiu cross at
+    R* = 4.115, outside the box — test_exact), so k = 2 deflation against
+    2ppu + 3ppu reaches it directly. Honest xi-span-40 box (in meta).
+    One 1500-Adam + 600-L-BFGS split run: E_int within 0.65 mHa at probe
+    Rs (mean 0.194, R = 0.2-dominated — the diffuse eta-node n = 4
+    plateau, same as 4fsu), STRICTLY variationally positive (min signed
+    +0.05), frozen-reference contamination < 1e-4."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    from pinn_for_quantum_wavefunction_surfaces_tpu.training import \
+        variational
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "pi_4fpiu.npz")
+    if not os.path.exists(path):
+        pytest.skip("4fpiu artifact not present")
+    params, meta = checkpoint.load_params(path)
+    assert meta["target_state"] == "4fpiu" and meta["m_abs"] == 1
+    assert float(meta["xi_span"]) == 40.0
+    params = params.get("params", params)
+    params = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+              for k, v in params.items()}
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable", m_abs=1,
+                                           eta_node=True, wide_alpha=True))
+    cfg = dataclasses.replace(cfg, domain=dataclasses.replace(
+        cfg.domain, xi_span=40.0))
+    r_probe = np.array([0.2, 1.0, 2.0, 4.0])
+    exact = aen.exact_energy_ode(r_probe, state="4fpiu")
+    for ri, ex in zip(r_probe, exact):
+        e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
+        err_mha = 1e3 * (e - ex)
+        assert 0.0 < err_mha <= 0.65, (ri, err_mha)
+    refs = []
+    for p in ("artifacts/pi_2ppu.npz", "artifacts/pi_3ppu.npz"):
+        q, _ = checkpoint.load_params(p)
+        refs.append(q.get("params", q))
+    frac = variational.contamination_curve(params, refs, cfg, [1.0, 4.0],
+                                           n_xi=48, n_eta=48)
+    assert frac.max() < 1e-4, frac
