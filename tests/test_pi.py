@@ -432,3 +432,41 @@ def test_delta_4ddg_artifact_regression():
                                            cfg, [1.0, 4.0],
                                            n_xi=48, n_eta=48)
     assert frac.max() < 1e-4, frac
+
+
+def test_delta_4fdu_artifact_regression():
+    """Golden on the shipped 4f delta_u artifact — the delta_u SECTOR
+    MINIMUM (|m| = 2: total parity = envelope parity x (-1)^m, so the
+    u sector needs an UNGERADE envelope under the even harmonic factor
+    Re[(y+iz)^2]; united atom He+(4f), separated atom H(n=3) — the
+    first |m| = 2 ungerade surface). No deflation needed
+    (sector minimum, like 2ppu/3ddg/4fpu). Honest xi-span-40 box (in
+    meta). TPU Adam 1500 + CPU f64 L-BFGS 800 split run: E_int within
+    0.15 mHa at probe Rs (surface mean 0.038, max 0.108 at R = 0.2),
+    STRICTLY variationally positive (min signed +0.017)."""
+    import os
+    from pinn_for_quantum_wavefunction_surfaces_tpu.analysis import energy \
+        as aen
+    from pinn_for_quantum_wavefunction_surfaces_tpu.io import checkpoint
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "delta_4fdu.npz")
+    if not os.path.exists(path):
+        pytest.skip("4fdu artifact not present")
+    params, meta = checkpoint.load_params(path)
+    assert meta["target_state"] == "4fdu" and meta["m_abs"] == 2
+    assert float(meta["xi_span"]) == 40.0
+    params = params.get("params", params)
+    params = {k: {kk: np.asarray(vv, np.float64) for kk, vv in v.items()}
+              for k, v in params.items()}
+    cfg = pqs.Config(dtype="float64",
+                     model=pqs.ModelConfig(arch="separable", m_abs=2,
+                                           wide_alpha=True,
+                                           inversion_symmetry=-1))
+    cfg = dataclasses.replace(cfg, domain=dataclasses.replace(
+        cfg.domain, xi_span=40.0))
+    r_probe = np.array([0.2, 1.0, 2.0, 4.0])
+    exact = aen.exact_energy_ode(r_probe, state="4fdu")
+    for ri, ex in zip(r_probe, exact):
+        e = aen.rayleigh_quotient_spheroidal(params, cfg, float(ri))
+        err_mha = 1e3 * (e - ex)
+        assert 0.0 < err_mha <= 0.15, (ri, err_mha)
