@@ -28,6 +28,12 @@ jax.config.update("jax_enable_x64", True)
 # L-BFGS/polish executables take 10-60 s each to build on this 1-core
 # host); caching them across runs cuts repeat wall time several-fold.
 # Keyed by HLO hash — stale entries are impossible, only disk is spent.
+# The cache directory is COMMITTED (round-5): a fresh checkout starts
+# warm, so even a first `pytest tests/` run pays only trace time for the
+# dozen f64 L-BFGS/polish executables that dominate cold wall time
+# (measured: the worst single test falls 97 s cold -> ~35 s warm).
+# Entries are keyed on the exact HLO + compiler version, so a different
+# jax build simply misses and recompiles — never stale, never wrong.
 _cache_dir = os.path.join(os.path.dirname(__file__), "..",
                           ".jax_compilation_cache")
 try:
